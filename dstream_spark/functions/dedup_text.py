@@ -1,0 +1,139 @@
+"""Near-duplicate detection families: MinHash+LSH, SimHash, n-gram
+Jaccard — the large-scale training-data dedup operators.
+
+Design for 100 TB:
+- shingling + hashing are pure JVM expressions (transform/md5) — one
+  scan, no Python, no shuffle.
+- MinHash signatures collapse each document to NUM_PERM strings before
+  anything shuffles; the LSH band join shuffles only (band, band_hash)
+  keys, never document text. Candidate volume is controlled by the
+  band/row split exactly as in the MinHash-LSH literature.
+- n-gram Jaccard is the exact (quadratic) method — used on blocked
+  candidates, never the full corpus, at scale.
+
+Everything is md5-based so DuckDB reproduces it bit-for-bit: MinHash
+takes the lexicographic min of md5(seed || shingle) hex strings — a
+uniform hash order without engine-specific integer hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_PERM = 8  # minhash permutations (seeded md5 namespaces)
+BANDS = 4  # LSH bands → rows_per_band = NUM_PERM // BANDS
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-grams as an array<string>."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def _seeded_md5(seed: int):
+    # single-arg closure: a default-arg lambda would change the arity
+    # PySpark inspects and make transform() pass the element INDEX here
+    def fn(s: Column) -> Column:
+        return F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+    return fn
+
+
+def minhash_signature(shingles: Column, num_perm: int = NUM_PERM) -> list[Column]:
+    """num_perm minhash values: min over md5('<seed>|' || shingle)."""
+    return [
+        F.array_min(F.transform(shingles, _seeded_md5(seed))).alias(f"mh_{seed}")
+        for seed in range(num_perm)
+    ]
+
+
+def lsh_bands(df: DataFrame, num_perm: int = NUM_PERM, bands: int = BANDS) -> DataFrame:
+    """Explode a signature table (id + mh_0..mh_{n-1}) into
+    (id, band, band_hash) rows; equal band_hash ⇒ candidate pair."""
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    id_cols = [c for c in df.columns if not c.startswith("mh_")]
+    return (
+        df.select(*id_cols, F.explode(F.array(*band_cols)).alias("bb"))
+        .select(*id_cols, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    )
+
+
+def simhash_expr(text_col: str = "text", bits: int = 32) -> Column:
+    """SimHash over word tokens: per bit, majority vote of token-hash
+    bits (hex-nibble decoding of md5 — portable to any SQL engine).
+
+    bit b of token t = (nibble(md5(t), b // 4) >> (b % 4)) & 1
+    simhash bit b    = 1 iff sum(2*bit - 1) > 0 over tokens
+    """
+    toks = F.split(F.col(text_col), " ")
+    hexes = F.transform(toks, F.md5)
+
+    def nibble(h: Column, i: int) -> Column:
+        # instr is 1-based; md5 hex is lowercase on both engines
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+
+    def bit_merger(b: int):
+        # two-arg closure (see _seeded_md5 note on PySpark arity)
+        def merge(s: Column, h: Column) -> Column:
+            return s + F.shiftright(nibble(h, b // 4), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+
+        return merge
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hexes, F.lit(0).cast("long"), bit_merger(b))
+        acc = acc + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("int") if bits <= 64 else None
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs via shingle-inverted
+    index: explode shingles → self-join on shingle → count shared /
+    union. The join key is the shingle, so only documents sharing at
+    least one shingle ever meet — the sparse-similarity-join pattern.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select(id_col, "n_sh", F.explode("sh").alias("g"))
+    left = ex.alias("l")
+    right = ex.alias("r")
+    pairs = (
+        left.join(right, (F.col("l.g") == F.col("r.g")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.round(
+        F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+    ).alias("jaccard")
+    return (
+        pairs.select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis functions for the training-data pipeline: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All JVM-side built-ins (split/size/transform/md5/…): no Python in the
+hot path, whole-stage-codegen friendly, and each has an exact DuckDB
+SQL translation used as the oracle. At 100 TB these run as a single
+scan + project with column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic marker vocabularies for the language-vote heuristic.
+# The fixture corpus is synthetic (one shared vocabulary), so the
+# point is the deterministic scoring machinery, not linguistic truth.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "table", "row"),
+    "de": ("data", "batch", "group"),
+    "fr": ("query", "line", "part"),
+    "es": ("spark", "stream", "window"),
+    "zh": ("vector", "hash", "merge"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (empty string → 1 like SQL split)."""
+    return F.size(tokens(text_col)).cast("int")
+
+
+def char_count(text_col: str = "text") -> Column:
+    return F.length(F.col(text_col)).cast("int")
+
+
+def avg_token_len(text_col: str = "text") -> Column:
+    """Mean token length, rounded for cross-engine float stability."""
+    toks = tokens(text_col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total / F.size(toks), 6)
+
+
+def _count_in_set(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_count(text_col: str = "text") -> Column:
+    return _count_in_set(tokens(text_col), STOPWORDS).cast("int")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality heuristic ∈ [0,1]: rewards moderate length
+    and penalizes stopword-heavy text. Deterministic closed form:
+      0.5 * min(n_tokens/100, 1) + 0.5 * (1 - stopword_ratio)
+    """
+    n = token_count(text_col).cast("double")
+    sw = stopword_count(text_col).cast("double")
+    return F.round(0.5 * F.least(n / 100.0, F.lit(1.0)) + 0.5 * (1.0 - sw / n), 6)
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """One marker-hit count per language, aliased lang_<code>."""
+    toks = tokens(text_col)
+    return [
+        _count_in_set(toks, words).cast("int").alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+
+
+def predicted_lang(text_col: str = "text") -> Column:
+    """Argmax language with deterministic lexicographic tiebreak:
+    greatest (score, lang-code) pair wins — same rule in the oracle."""
+    toks = tokens(text_col)
+    pairs = [
+        F.struct(
+            _count_in_set(toks, words).cast("int").alias("s"),
+            F.lit(lang).alias("l"),
+        )
+        for lang, words in LANG_MARKERS.items()
+    ]
+    return F.greatest(*pairs).getField("l")
+
+
+def fingerprint(text_col: str = "text", prefix_tokens: int = 8) -> Column:
+    """Document fingerprint: md5 over the first-k-token prefix — a
+    cheap normalization-collision fingerprint (near-dup blocking key).
+    """
+    prefix = F.concat_ws(" ", F.slice(tokens(text_col), 1, prefix_tokens))
+    return F.md5(prefix)

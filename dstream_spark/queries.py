@@ -1,0 +1,730 @@
+"""Query registry: name → (Spark callable, DuckDB oracle SQL).
+
+Every operator from SURVEY.md §2 (plus the training-data-pipeline
+operators) is exposed here twice: as a Spark DataFrame program built
+from the dstream_spark operator library, and as portable ANSI SQL that
+DuckDB executes on the same parquet tables. The driver compares
+row-count + schema + order-insensitive value hash at sf=0.01.
+
+Conventions that make the comparison exact:
+- transcripts are DERIVED deterministically from the driver's `events`
+  table by the shared CTE (fixtures/transcripts.py) — bit-identical on
+  both engines (verified in tests).
+- every float column is round()ed on both sides; sums that DuckDB
+  would widen to HUGEINT are cast to BIGINT in the oracle.
+- top-k rankings tiebreak on (rounded value, id) so the selected rows
+  are engine-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dstream_spark.fixtures.transcripts import TRANSCRIPTS_CTE, register_tables
+from dstream_spark.functions import dedup_text, similarity, text as textfn
+from dstream_spark.operators import cdc, dedup, joins, skew, windows
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    note: str = ""
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.fixtures.transcripts import transcripts_from_events
+
+    return transcripts_from_events(spark, sf_dir)
+
+
+def _t_sql(body: str) -> str:
+    return f"WITH {TRANSCRIPTS_CTE} {body}"
+
+
+# ================================================================= #
+# 1. Transcript / CDC family — the reference's semantic core          #
+# ================================================================= #
+
+def q_relay_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 ordered line relay (providers.go:234-261): identity map; the
+    driver's order-insensitive hash + per-turn text equality is the
+    echo-test golden (handshake_test.go:338-383)."""
+    return _transcripts(spark, sf_dir)
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 dual-key dedup: replay every 7th turn (the crash-replay
+    overlap, mssql-ingester.md:84-87) then dedup on (conv_id,
+    turn_idx)."""
+    t = _transcripts(spark, sf_dir)
+    replay = t.filter(F.col("turn_idx") % 7 == 0)
+    return dedup.dedup_keys(t.unionAll(replay))
+
+
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert/update apply (OperationType, capability-inventory.md:
+    166-167): v2 edits every 5th turn; latest _commit_version wins."""
+    t = _transcripts(spark, sf_dir)
+    v1 = t.withColumn("_commit_version", F.lit(1).cast("long")).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    v2 = (
+        t.filter(F.col("turn_idx") % 5 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [edited]")))
+        .withColumn("_commit_version", F.lit(2).cast("long"))
+        .withColumn("_change_type", F.lit("update"))
+    )
+    out = cdc.apply_changes(v1.unionAll(v2))
+    return out.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per conversation: turn counts + agent
+    turns (north-rule windowed aggregate; runs identically on the
+    streaming path — see stream_tumbling_counts)."""
+    t = _transcripts(spark, sf_dir)
+    return windows.tumbling(
+        t,
+        "1 hour",
+        keys=("conv_id",),
+        aggs=[
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "agent", 1).otherwise(0)).cast("bigint").alias("n_agent"),
+        ],
+    )
+
+
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding by 30 minutes, per role."""
+    t = _transcripts(spark, sf_dir)
+    return windows.sliding(
+        t, "1 hour", "30 minutes", keys=("role",),
+        aggs=[F.count(F.lit(1)).alias("n_turns")],
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap: conversation-boundary detection
+    (the polling-backoff analog, capability-inventory.md:136)."""
+    t = _transcripts(spark, sf_dir)
+    return windows.sessionize_batch(t, gap_seconds=1800)
+
+
+def q_tool_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: agent turns ↔ tool invocations within ±10 min in
+    the same conversation (the north rule's stream-stream join; batch
+    form here, streaming form in tests)."""
+    t = _transcripts(spark, sf_dir)
+    agents = t.filter(F.col("role") == "agent")
+    tools = t.filter(F.col("tool").isNotNull())
+    j = joins.interval_join(agents, tools, lower_s=600, upper_s=600)
+    return j.select(
+        F.col("conv_id"),
+        F.col("turn_idx").alias("agent_turn"),
+        F.col("turn_idx_r").alias("tool_turn"),
+        F.col("tool_r").alias("tool"),
+    )
+
+
+def q_lineage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_offsets analog (capability-inventory.md:179-183): per-conv
+    high-water mark."""
+    return cdc.lineage_summary(_transcripts(spark, sf_dir))
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregate; must equal the plain group-by the
+    oracle computes (north rule: salted repartitioning for hot keys)."""
+    t = _transcripts(spark, sf_dir)
+    return skew.salted_agg(
+        t,
+        keys=("conv_id",),
+        aggs={"n_turns": ("count", "turn_idx"), "max_turn": ("max", "turn_idx")},
+        buckets=16,
+    )
+
+
+def q_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch analog of watermark late-row filtering: keep
+    rows within 7 days of the stream's max event time."""
+    t = _transcripts(spark, sf_dir)
+    cutoff = t.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cut"))
+    return (
+        t.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cut"))
+        .select("conv_id", "turn_idx", "ts")
+    )
+
+
+# ================================================================= #
+# 2. Relational coverage (Spark-native, Catalyst-optimized)           #
+# ================================================================= #
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("lineitem",))
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = spark.table("lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem"))
+    r = spark.table("region")
+    n = spark.table("nation")
+    c = spark.table("customer")
+    s = spark.table("supplier")
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("lineitem",))
+    li = spark.table("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (window function coverage), deterministic
+    tiebreak (value desc, event_id asc)."""
+    from pyspark.sql import Window
+
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def q_daily_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot shape) per day."""
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("bigint").alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy(day).agg(*aggs, F.round(F.sum("value"), 2).alias("total_value"))
+
+
+def q_clicked_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation coverage (EXCEPT)."""
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events")
+    clicked = e.filter(F.col("event_type") == "click").select("user_id")
+    purchased = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicked.subtract(purchased)  # set EXCEPT (distinct) semantics
+
+
+# ================================================================= #
+# 3. Training-data pipeline: text analysis + dedup families           #
+# ================================================================= #
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        textfn.token_count().alias("n_tokens"),
+        textfn.char_count().alias("n_chars_obs"),
+        textfn.avg_token_len().alias("avg_token_len"),
+    )
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        textfn.stopword_count().alias("n_stopwords"),
+        textfn.quality_score().alias("quality"),
+    )
+
+
+def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return d.select("doc_id", *textfn.lang_scores(), textfn.predicted_lang().alias("predicted_lang"))
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalization fingerprint (md5 of the 8-token
+    prefix): hash-groupBy dedup with a representative id per group."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return (
+        d.select("doc_id", textfn.fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return dedup_text.jaccard_pairs(d, k=3, threshold=0.12)
+
+
+def q_docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    sig = d.select(
+        "doc_id", *dedup_text.minhash_signature(dedup_text.word_shingles("text", 3))
+    )
+    return dedup_text.lsh_bands(sig)
+
+
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: documents sharing ≥1 band bucket."""
+    b = q_docs_minhash_bands(spark, sf_dir)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return d.select("doc_id", dedup_text.simhash_expr("text", 32).alias("simhash"))
+
+
+def q_docs_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ 8 over 32-bit simhash."""
+    s = q_docs_simhash(spark, sf_dir)
+    l, r = s.alias("l"), s.alias("r")
+    return (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .withColumn(
+            "hamming",
+            dedup_text.hamming_distance(F.col("l.simhash"), F.col("r.simhash")),
+        )
+        .filter(F.col("hamming") <= 8)
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"), "hamming")
+    )
+
+
+# ================================================================= #
+# 4. Similarity search over embeddings                                #
+# ================================================================= #
+
+def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(similarity.l2_norm(F.col("embedding")), 6).alias("l2"),
+    )
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    return similarity.cosine_topk(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+def q_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return similarity.ivf_assign(e, cents)
+
+
+# ================================================================= #
+# Oracle SQL (DuckDB dialect, same parquet views)                     #
+# ================================================================= #
+
+_SLIDE_SQL = _t_sql(
+    """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - (offs.k * INTERVAL '30 minutes') AS w_start,
+       time_bucket(INTERVAL '30 minutes', ts) - (offs.k * INTERVAL '30 minutes') + INTERVAL '1 hour' AS w_end,
+       role, count(*) AS n_turns
+FROM transcripts, (VALUES (0),(1)) AS offs(k)
+GROUP BY 1, 2, 3
+"""
+)
+
+_SESSION_SQL = _t_sql(
+    """
+, g AS (
+  SELECT conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+), s AS (
+  SELECT conv_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+  FROM g
+)
+SELECT conv_id, session_idx, count(*) AS n_turns, min(ts) AS s_start, max(ts) AS s_end
+FROM s GROUP BY 1, 2
+"""
+)
+
+_LANG_SCORE_COLS = ",\n       ".join(
+    "CAST(len(list_filter(string_split(text, ' '), t -> list_contains({}, t))) AS INT) AS score_{}".format(
+        "[" + ", ".join(f"'{w}'" for w in words) + "]", lang
+    )
+    for lang, words in textfn.LANG_MARKERS.items()
+)
+
+_LANG_PRED = (
+    "(SELECT l FROM (VALUES "
+    + ", ".join(
+        "(CAST(len(list_filter(string_split(text, ' '), t -> list_contains([{}], t))) AS INT), '{}')".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in textfn.LANG_MARKERS.items()
+    )
+    + ") AS v(s, l) ORDER BY s DESC, l DESC LIMIT 1)"
+)
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in textfn.STOPWORDS) + "]"
+
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
+    "i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))"
+)
+
+_MINHASH_COLS = ",\n       ".join(
+    f"list_min(list_transform(sh, s -> md5('{seed}|' || s))) AS mh_{seed}"
+    for seed in range(dedup_text.NUM_PERM)
+)
+
+_BAND_ROWS = dedup_text.NUM_PERM // dedup_text.BANDS
+_BAND_STRUCTS = ", ".join(
+    "(" + str(b) + ", md5(" + " || '|' || ".join(f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)) + "))"
+    for b in range(dedup_text.BANDS)
+)
+
+# simhash oracle: per-token bit votes, 32 bits from the first 8 hex
+# nibbles of md5(token)
+_SIMHASH_BIT_SUMS = ",\n         ".join(
+    f"SUM(((instr('0123456789abcdef', substring(md5(tok), {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1) * 2 - count(*) AS v_{b}"
+    for b in range(32)
+)
+_SIMHASH_COMBINE = " + ".join(f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(32))
+
+_COS = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+)
+
+
+ORACLES: dict[str, str] = {
+    "relay_identity": _t_sql("SELECT * FROM transcripts"),
+    "cdc_dedup": _t_sql(
+        """
+SELECT DISTINCT * FROM (
+  SELECT * FROM transcripts
+  UNION ALL
+  SELECT * FROM transcripts WHERE turn_idx % 7 = 0
+)"""
+    ),
+    "cdc_latest_state": _t_sql(
+        """
+, feed AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, 1 AS v FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text || ' [edited]', tool, ts, 2 AS v
+  FROM transcripts WHERE turn_idx % 5 = 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY v DESC) AS rn FROM feed
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM ranked WHERE rn = 1"""
+    ),
+    "tumbling_counts": _t_sql(
+        """
+SELECT date_trunc('hour', ts) AS w_start,
+       date_trunc('hour', ts) + INTERVAL '1 hour' AS w_end,
+       conv_id, count(*) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'agent' THEN 1 ELSE 0 END) AS BIGINT) AS n_agent
+FROM transcripts GROUP BY 1, 2, 3"""
+    ),
+    "sliding_counts": _SLIDE_SQL,
+    "session_windows": _SESSION_SQL,
+    "tool_correlation": _t_sql(
+        """
+SELECT a.conv_id AS conv_id, a.turn_idx AS agent_turn,
+       t.turn_idx AS tool_turn, t.tool AS tool
+FROM transcripts a
+JOIN transcripts t
+  ON a.conv_id = t.conv_id AND a.role = 'agent' AND t.tool IS NOT NULL
+ AND t.ts >= a.ts - INTERVAL '600 seconds'
+ AND t.ts <= a.ts + INTERVAL '600 seconds'"""
+    ),
+    "lineage_summary": _t_sql(
+        """
+SELECT conv_id, max(turn_idx) AS max_turn_idx, count(*) AS n_turns, max(ts) AS updated_at
+FROM transcripts GROUP BY 1"""
+    ),
+    "skew_salted_agg": _t_sql(
+        "SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn FROM transcripts GROUP BY 1"
+    ),
+    "watermark_late_drop": _t_sql(
+        """
+SELECT conv_id, turn_idx, ts FROM transcripts
+WHERE ts >= (SELECT max(ts) FROM transcripts) - INTERVAL '7 days'"""
+    ),
+    "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2""",
+    "tpch_q3": """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10""",
+    "tpch_q5": """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY 1, 2""",
+    "tpch_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+    "top_events_per_user": """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INT) AS rn
+  FROM events
+) WHERE rn <= 3""",
+    "daily_event_mix": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1""",
+    "clicked_never_purchased": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+    "docs_token_stats": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_obs,
+       round(list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS DOUBLE)))
+             / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents""",
+    "docs_quality": f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOP_LIST}, t))) AS INT) AS n_stopwords,
+       round(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
+                            / len(string_split(text, ' '))), 6) AS quality
+FROM documents""",
+    "docs_langid": f"""
+SELECT doc_id,
+       {_LANG_SCORE_COLS},
+       {_LANG_PRED} AS predicted_lang
+FROM documents""",
+    "docs_fingerprint": """
+SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+       count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1""",
+    "docs_ngram_jaccard": f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh
+), pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.n_sh AS n_a, r.n_sh AS n_b, count(*) AS shared
+  FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) AS jaccard
+FROM pairs WHERE round(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= 0.12""",
+    "docs_minhash_bands": f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+), sig AS (
+  SELECT doc_id,
+       {_MINHASH_COLS}
+  FROM sh
+)
+"""
+    + "\nUNION ALL\n".join(
+        "SELECT doc_id, CAST({b} AS INT) AS band, md5({expr}) AS band_hash FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)
+            ),
+        )
+        for b in range(dedup_text.BANDS)
+    ),
+    "docs_simhash": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), votes AS (
+  SELECT doc_id,
+         {_SIMHASH_BIT_SUMS}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM votes""",
+    "docs_simhash_dups": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), votes AS (
+  SELECT doc_id,
+         {_SIMHASH_BIT_SUMS}
+  FROM toks GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM votes
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 8""",
+    "emb_norms": """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2
+FROM embeddings""",
+    "emb_cosine_topk": f"""
+WITH scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_COS} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+)
+SELECT q_id, n_id, sim, rank FROM (
+  SELECT q_id, n_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+    "emb_ivf_assign": f"""
+WITH scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS c_id, {_COS} AS sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id < 8
+)
+SELECT vec_id, c_id, sim FROM (
+  SELECT vec_id, c_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1""",
+}
+
+
+QUERIES: dict[str, Query] = {
+    "relay_identity": Query(q_relay_identity, ORACLES["relay_identity"]),
+    "cdc_dedup": Query(q_cdc_dedup, ORACLES["cdc_dedup"]),
+    "cdc_latest_state": Query(q_cdc_latest_state, ORACLES["cdc_latest_state"]),
+    "tumbling_counts": Query(q_tumbling_counts, ORACLES["tumbling_counts"]),
+    "sliding_counts": Query(q_sliding_counts, ORACLES["sliding_counts"]),
+    "session_windows": Query(q_session_windows, ORACLES["session_windows"]),
+    "tool_correlation": Query(q_tool_correlation, ORACLES["tool_correlation"]),
+    "lineage_summary": Query(q_lineage_summary, ORACLES["lineage_summary"]),
+    "skew_salted_agg": Query(q_skew_salted_agg, ORACLES["skew_salted_agg"]),
+    "watermark_late_drop": Query(q_watermark_late_drop, ORACLES["watermark_late_drop"]),
+    "tpch_q1": Query(q_tpch_q1, ORACLES["tpch_q1"]),
+    "tpch_q3": Query(q_tpch_q3, ORACLES["tpch_q3"]),
+    "tpch_q5": Query(q_tpch_q5, ORACLES["tpch_q5"]),
+    "tpch_q6": Query(q_tpch_q6, ORACLES["tpch_q6"]),
+    "top_events_per_user": Query(q_top_events_per_user, ORACLES["top_events_per_user"]),
+    "daily_event_mix": Query(q_daily_event_mix, ORACLES["daily_event_mix"]),
+    "clicked_never_purchased": Query(q_clicked_never_purchased, ORACLES["clicked_never_purchased"]),
+    "docs_token_stats": Query(q_docs_token_stats, ORACLES["docs_token_stats"]),
+    "docs_quality": Query(q_docs_quality, ORACLES["docs_quality"]),
+    "docs_langid": Query(q_docs_langid, ORACLES["docs_langid"]),
+    "docs_fingerprint": Query(q_docs_fingerprint, ORACLES["docs_fingerprint"]),
+    "docs_ngram_jaccard": Query(q_docs_ngram_jaccard, ORACLES["docs_ngram_jaccard"]),
+    "docs_minhash_bands": Query(q_docs_minhash_bands, ORACLES["docs_minhash_bands"]),
+    "docs_minhash_pairs": Query(q_docs_minhash_pairs, None, "LSH pairs derived from bands"),
+    "docs_simhash": Query(q_docs_simhash, ORACLES["docs_simhash"]),
+    "docs_simhash_dups": Query(q_docs_simhash_dups, ORACLES["docs_simhash_dups"]),
+    "emb_norms": Query(q_emb_norms, ORACLES["emb_norms"]),
+    "emb_cosine_topk": Query(q_emb_cosine_topk, ORACLES["emb_cosine_topk"]),
+    "emb_ivf_assign": Query(q_emb_ivf_assign, ORACLES["emb_ivf_assign"]),
+}

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Every knob here is chosen for the 100 TB target, then scaled down for
+local[N] testing:
+
+- AQE on: runtime coalescing + skew-join splitting replaces hand-tuned
+  shuffle partition counts at real scale.
+- Arrow on: all Python crossings are vectorized (the reference's
+  "providers in any language" surface maps to pandas UDFs — SURVEY.md
+  §2.6); per-row Python UDFs are banned (tests enforce it).
+- Session timezone pinned to UTC so event-time windows are stable and
+  DuckDB-oracle comparisons are exact.
+- shuffle.partitions defaults to 2× local cores; on a real cluster this
+  is overridden by AQE's coalescing from
+  spark.sql.adaptive.coalescePartitions.initialPartitionNum.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dstream_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    ``cores`` controls local parallelism (``local[cores]``); ``None``
+    uses $SPARK_GRAFT_CPUS or all cores. On a real cluster the master
+    is supplied by spark-submit and this just applies engine conf.
+    """
+    if cores is None:
+        cores_s = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    else:
+        cores_s = str(cores)
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8 if cores_s == "*" else int(cores_s)
+        shuffle_partitions = max(8, 2 * n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores_s}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        # keep micro-batch planning cheap in local tests
+        .config("spark.sql.streaming.metricsEnabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

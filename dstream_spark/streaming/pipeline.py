@@ -1,0 +1,175 @@
+"""Pipeline planner + lifecycle verbs: the HCL-task analog.
+
+A reference task is an HCL block {type, input{}, output{}}
+(pkg/config/tasks.go:15-37) executed by verbs run/init/plan/status/
+destroy (cmd/*.go). Ours is a plain dict (the late-bound config{}
+analog — docs/capability-inventory.md:69):
+
+    {
+      "name": "transcripts",
+      "source": {"type": "changefeed", "path": ...},
+      "transforms": [callable(DataFrame) -> DataFrame, ...],
+      "sink": {"type": "merge", "table_dir": ..., "sink": MergeSink},
+      "checkpoint_dir": ...,
+      "trigger": {"availableNow": True} | {"processingTime": "1 second"},
+    }
+
+Verb semantics (SURVEY.md §3, entry point 2):
+- run: build source → transforms → sink, start the StreamingQuery.
+- init: sink DDL (create dirs/tables) — EnsureDestinationExists (K5).
+- plan: dry-run diff of what init would create.
+- status: query lastProgress + sink commit state (C4 metrics analog).
+- destroy: drop sink tables + checkpoint.
+
+Single-writer lock (D5): Spark already guarantees one query per
+checkpoint dir; we additionally take a lock file with a stale TTL to
+reproduce dstream's blob-lease semantics (acquire / skip-if-held /
+break-if-stale, docs/capability-inventory.md:185-192) so two engine
+processes can't double-write one sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from dstream_spark.sinks.registry import get_sink
+from dstream_spark.sources.registry import get_source
+
+LOCK_STALE_S = 120.0  # the reference's 2-minute stale-lease TTL
+
+
+class LockHeldError(RuntimeError):
+    pass
+
+
+class Lock:
+    """File lock with stale-TTL breaking (blob-lease analog)."""
+
+    def __init__(self, path: str, ttl_s: float = LOCK_STALE_S):
+        self.path = path
+        self.ttl_s = ttl_s
+
+    def acquire(self, owner: str) -> None:
+        now = time.time()
+        if os.path.exists(self.path):
+            try:
+                meta = json.load(open(self.path))
+            except (json.JSONDecodeError, OSError):
+                meta = {"ts": 0}
+            age = now - meta.get("ts", 0)
+            if age < self.ttl_s and meta.get("owner") != owner:
+                raise LockHeldError(
+                    f"lock {self.path} held by {meta.get('owner')} ({age:.0f}s old)"
+                )
+            # stale (>TTL) → break it, as the reference does
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"owner": owner, "ts": now}, f)
+        os.replace(tmp, self.path)
+
+    def heartbeat(self, owner: str) -> None:
+        self.acquire(owner)
+
+    def release(self, owner: str) -> None:
+        if os.path.exists(self.path):
+            try:
+                if json.load(open(self.path)).get("owner") == owner:
+                    os.remove(self.path)
+            except (json.JSONDecodeError, OSError):
+                pass
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, conf: dict):
+        self.spark = spark
+        self.conf = conf
+        self.name = conf.get("name", "pipeline")
+        self.query: StreamingQuery | None = None
+        ckpt = conf.get("checkpoint_dir")
+        self.lock = Lock(os.path.join(ckpt, "_dstream.lock")) if ckpt else None
+
+    # -- verb: run -----------------------------------------------------
+    def build(self) -> DataFrame:
+        src_conf = dict(self.conf["source"])
+        df = get_source(src_conf.pop("type"))(self.spark, src_conf)
+        for t in self.conf.get("transforms", ()):
+            df = t(df)
+        return df
+
+    def run(self, await_termination: bool = False, owner: str = "driver") -> StreamingQuery:
+        if self.lock:
+            os.makedirs(os.path.dirname(self.lock.path), exist_ok=True)
+            self.lock.acquire(owner)
+        df = self.build()
+        sink_conf = dict(self.conf["sink"])
+        writer = get_sink(sink_conf.pop("type"))(df, sink_conf)
+        trigger = self.conf.get("trigger", {"availableNow": True})
+        writer = writer.trigger(**trigger)
+        if self.conf.get("checkpoint_dir"):
+            writer = writer.option("checkpointLocation", self.conf["checkpoint_dir"])
+        self.query = writer.queryName(self.name).start()
+        if await_termination:
+            self.query.awaitTermination()
+        return self.query
+
+    def stop(self, grace_s: float = 10.0, owner: str = "driver") -> None:
+        """Graceful shutdown (K7): stop → bounded wait (the reference's
+        SIGTERM + 10 s grace, pkg/executor/providers.go:441-487)."""
+        if self.query is not None:
+            self.query.stop()
+            deadline = time.time() + grace_s
+            while self.query.isActive and time.time() < deadline:
+                time.sleep(0.05)
+        if self.lock:
+            self.lock.release(owner)
+
+    # -- lifecycle verbs ------------------------------------------------
+    def init(self) -> dict:
+        created = []
+        sink = self.conf.get("sink", {}).get("sink")
+        if sink is not None:
+            sink.init()
+            created.append(sink.table_dir)
+        ckpt = self.conf.get("checkpoint_dir")
+        if ckpt:
+            os.makedirs(ckpt, exist_ok=True)
+            created.append(ckpt)
+        return {"status": "success", "resources": created}
+
+    def plan(self) -> dict:
+        to_create = []
+        sink = self.conf.get("sink", {}).get("sink")
+        if sink is not None and not os.path.exists(sink.data_dir):
+            to_create.append(sink.table_dir)
+        ckpt = self.conf.get("checkpoint_dir")
+        if ckpt and not os.path.exists(ckpt):
+            to_create.append(ckpt)
+        return {"status": "success", "would_create": to_create}
+
+    def status(self) -> dict:
+        out: dict = {"name": self.name, "active": bool(self.query and self.query.isActive)}
+        if self.query is not None:
+            out["last_progress"] = self.query.lastProgress
+        sink = self.conf.get("sink", {}).get("sink")
+        if sink is not None:
+            out["sink"] = sink.status()
+        return out
+
+    def destroy(self) -> dict:
+        import shutil
+
+        removed = []
+        sink = self.conf.get("sink", {}).get("sink")
+        if sink is not None:
+            sink.destroy()
+            removed.append(sink.table_dir)
+        ckpt = self.conf.get("checkpoint_dir")
+        if ckpt and os.path.exists(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+            removed.append(ckpt)
+        return {"status": "success", "removed": removed}
