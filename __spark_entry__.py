@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
+queries()      — every implemented operator from SURVEY.md §2 + the
+                 training-data-pipeline ops (32 entries; 31 with
+                 DuckDB oracles, incl. three REAL Structured Streaming
+                 runs checked against batch SQL)
+oracle_sql()   — matching DuckDB SQL per query (omitted only for
+                 docs_minhash_pairs, derived non-SQL-trivially from
+                 the oracle-checked bands artifact)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dstream_spark.queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC pipeline's batch spine on sf0.001 —
+    transcripts (change feed) → dual-key dedup → 30-min-gap session
+    windows per conversation."""
+    from pyspark.sql import functions as F
+
+    from dstream_spark.fixtures.transcripts import transcripts_from_events
+    from dstream_spark.operators.dedup import dedup_keys
+    from dstream_spark.operators.windows import sessionize_batch
+
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    return sessionize_batch(dedup_keys(t), gap_seconds=1800).orderBy(
+        F.col("conv_id"), F.col("session_idx")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

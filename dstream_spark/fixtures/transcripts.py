@@ -39,7 +39,10 @@ TRANSCRIPT_SCHEMA = T.StructType(
         T.StructField("role", T.StringType()),
         T.StructField("text", T.StringType()),
         T.StructField("tool", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
+        # NTZ: wall-clock semantics independent of the session timezone
+        # (the driver's SparkSession may not pin UTC; the parquet test
+        # tables are NTZ; DuckDB timestamps are naive)
+        T.StructField("ts", T.TimestampNTZType()),
     ]
 )
 

@@ -61,4 +61,11 @@ def dedup_stream(
     """Streaming dedup with bounded state: a key's dedup record is
     dropped from the state store once the watermark passes it, which is
     what makes this viable on an unbounded stream."""
-    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    from dstream_spark.operators.event_time import restore_ntz, with_event_time
+
+    out = (
+        with_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+    return restore_ntz(out, (ts_col,))

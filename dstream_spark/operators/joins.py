@@ -40,17 +40,21 @@ def interval_join(
     streaming DataFrames; streaming requires watermarks on both sides
     (applied here) so state is evicted once the interval has passed.
     """
+    from dstream_spark.operators.event_time import restore_ntz, with_event_time
+
+    streaming = left.isStreaming or right.isStreaming
     if left.isStreaming:
-        left = left.withWatermark(ts_col, watermark)
+        left = with_event_time(left, ts_col).withWatermark(ts_col, watermark)
     if right.isStreaming:
-        right = right.withWatermark(ts_col, watermark)
+        right = with_event_time(right, ts_col).withWatermark(ts_col, watermark)
     r = right.select([F.col(c).alias(f"{c}_r") for c in right.columns])
     cond = (
         (F.col(key) == F.col(f"{key}_r"))
         & (F.col(f"{ts_col}_r") >= F.col(ts_col) - F.expr(f"INTERVAL {lower_s} SECONDS"))
         & (F.col(f"{ts_col}_r") <= F.col(ts_col) + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
-    return left.join(r, cond, how)
+    out = left.join(r, cond, how)
+    return restore_ntz(out, (ts_col, f"{ts_col}_r")) if streaming else out
 
 
 def asof_join(

@@ -27,10 +27,23 @@ from pyspark.sql import functions as F
 
 
 def _flatten_window(out: DataFrame) -> DataFrame:
+    from dstream_spark.operators.event_time import restore_ntz
+
     rest = [c for c in out.columns if c != "w"]
-    return out.select(
+    flat = out.select(
         F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), *rest
     )
+    # watermark paths compute on TIMESTAMP instants; results are
+    # restored to the engine's at-rest NTZ representation
+    return restore_ntz(flat, ("w_start", "w_end"))
+
+
+def _watermarked(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        from dstream_spark.operators.event_time import with_event_time
+
+        return with_event_time(df, ts_col).withWatermark(ts_col, watermark)
+    return df
 
 
 def tumbling(
@@ -42,8 +55,7 @@ def tumbling(
     watermark: str | None = None,
 ) -> DataFrame:
     """Fixed windows; emits w_start/w_end as top-level columns."""
-    if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    df = _watermarked(df, ts_col, watermark)
     aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_turns")]
     return _flatten_window(
         df.groupBy(F.window(ts_col, duration).alias("w"), *keys).agg(*aggs)
@@ -60,8 +72,7 @@ def sliding(
     watermark: str | None = None,
 ) -> DataFrame:
     """Overlapping windows: each event lands in duration/slide windows."""
-    if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    df = _watermarked(df, ts_col, watermark)
     aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_turns")]
     return _flatten_window(
         df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys).agg(*aggs)
@@ -79,8 +90,7 @@ def session_stream(
     """Built-in session windows (streaming or batch): conversation-
     boundary detection, the analog of dstream's idle-table polling
     backoff (docs/capability-inventory.md:136 — SURVEY.md §2.1 S3)."""
-    if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    df = _watermarked(df, ts_col, watermark)
     aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_turns")]
     return _flatten_window(
         df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys).agg(*aggs)

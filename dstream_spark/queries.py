@@ -172,7 +172,7 @@ def q_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("lineitem",))
-    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -189,8 +189,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = spark.table("orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
-    li = spark.table("lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    o = spark.table("orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
+    li = spark.table("lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
     j = li.join(o, li.l_orderkey == o.o_orderkey).join(F.broadcast(c), o.o_custkey == c.c_custkey)
     agg = j.groupBy("l_orderkey", "o_orderdate").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -225,8 +225,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -697,6 +697,24 @@ SELECT vec_id, c_id, sim FROM (
 }
 
 
+def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_tumbling_counts
+
+    return stream_tumbling_counts(spark, sf_dir)
+
+
+def _stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_exactly_once
+
+    return stream_exactly_once(spark, sf_dir)
+
+
+def _stream_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_cursor_dedup
+
+    return stream_cursor_dedup(spark, sf_dir)
+
+
 QUERIES: dict[str, Query] = {
     "relay_identity": Query(q_relay_identity, ORACLES["relay_identity"]),
     "cdc_dedup": Query(q_cdc_dedup, ORACLES["cdc_dedup"]),
@@ -724,6 +742,18 @@ QUERIES: dict[str, Query] = {
     "docs_minhash_pairs": Query(q_docs_minhash_pairs, None, "LSH pairs derived from bands"),
     "docs_simhash": Query(q_docs_simhash, ORACLES["docs_simhash"]),
     "docs_simhash_dups": Query(q_docs_simhash_dups, ORACLES["docs_simhash_dups"]),
+    "stream_tumbling_counts": Query(
+        _stream_tumbling, ORACLES["tumbling_counts"],
+        "REAL Structured Streaming run (complete mode) vs the batch oracle",
+    ),
+    "stream_exactly_once": Query(
+        _stream_exactly_once, ORACLES["relay_identity"],
+        "change feed with replayed batch → MergeSink → no dups, no loss",
+    ),
+    "stream_cursor_dedup": Query(
+        _stream_cursor, ORACLES["relay_identity"],
+        "applyInPandasWithState per-conv cursor over in-order feed + replay",
+    ),
     "emb_norms": Query(q_emb_norms, ORACLES["emb_norms"]),
     "emb_cosine_topk": Query(q_emb_cosine_topk, ORACLES["emb_cosine_topk"]),
     "emb_ivf_assign": Query(q_emb_ivf_assign, ORACLES["emb_ivf_assign"]),

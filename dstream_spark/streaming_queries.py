@@ -1,0 +1,167 @@
+"""Oracle-checkable STREAMING queries.
+
+These run a real Structured Streaming job (changefeed files → micro-
+batches → stateful operator → sink) inside a queries() entry and
+return the final result as a batch DataFrame. Because the transcripts
+are derived deterministically from the driver's events table, the
+streaming results must equal the same batch oracle SQL — direct
+evidence that the streaming path reproduces the reference's semantics
+(ordered delivery, dedup, windowed state, exactly-once sink) for the
+same input stream.
+
+Each run uses a fresh scratch dir under /tmp (left in place: returned
+DataFrames read lazily from it).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dstream_spark.fixtures.transcripts import (
+    CHANGEFEED_SCHEMA,
+    transcripts_from_events,
+)
+from dstream_spark.operators.cdc import cursor_dedup_stream
+from dstream_spark.sinks.merge import MergeSink
+from dstream_spark.sources.registry import changefeed
+from dstream_spark.streaming.pipeline import Pipeline
+
+
+def _scratch(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"dstream_{tag}_")
+
+
+def _write_feed(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_batches: int = 4,
+    replay_batch0: bool = False,
+    split_by_turn: bool = False,
+) -> None:
+    """Land the derived transcripts as ordered change-feed files.
+
+    ``split_by_turn``: batch b holds each conversation's turn range
+    [b*L, (b+1)*L) — in-order delivery per conversation (the LSN-
+    ordered CDC poll, docs/plugins/mssql-ingester.md:70). Otherwise
+    rows are hash-split (arrival order ≠ turn order, the general case).
+    ``replay_batch0``: append a final file replaying batch 0's rows —
+    the crash-replay overlap (docs/plugins/mssql-ingester.md:84-87).
+    """
+    pdf = transcripts_from_events(spark, sf_dir).toPandas()
+    os.makedirs(out_dir, exist_ok=True)
+    if split_by_turn:
+        max_turn = int(pdf["turn_idx"].max()) + 1
+        per = max(1, (max_turn + n_batches - 1) // n_batches)
+        masks = [
+            (pdf["turn_idx"] >= b * per) & (pdf["turn_idx"] < (b + 1) * per)
+            for b in range(n_batches)
+        ]
+    else:
+        idx = np.arange(len(pdf))
+        masks = [(idx % n_batches) == b for b in range(n_batches)]
+    batches = [pdf[m] for m in masks]
+    if replay_batch0:
+        batches.append(batches[0])
+    t0 = 1_700_000_000
+    for b, part in enumerate(batches):
+        part = part.copy()
+        part["_change_type"] = "insert"
+        part["_commit_version"] = np.int64(b)
+        sdf = spark.createDataFrame(part, schema=CHANGEFEED_SCHEMA)
+        tmp = os.path.join(out_dir, f".tmp_{uuid.uuid4().hex[:8]}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(out_dir, f"batch_{b:05d}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        import shutil
+
+        shutil.rmtree(tmp)
+        # strictly increasing mtimes: the file source processes files
+        # oldest-first, giving deterministic micro-batch order
+        os.utime(dst, (t0 + b * 10, t0 + b * 10))
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per conversation computed BY THE
+    STREAMING ENGINE (complete output mode), equal to the batch
+    tumbling_counts oracle."""
+    feed = _scratch("tumble")
+    _write_feed(spark, sf_dir, feed, n_batches=4)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "agent", 1).otherwise(0)).cast("bigint").alias("n_agent"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+            "conv_id", "n_turns", "n_agent",
+        )
+    )
+    name = f"stream_tumble_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed WITH a replayed batch → MergeSink → read back: the
+    exactly-once contract end-to-end. Result must equal the plain
+    transcript projection (no dups, no loss) — the contract the
+    reference documents but cannot guarantee alone
+    (docs/plugins/mssql-ingester.md:84-87)."""
+    feed = _scratch("eo_feed")
+    table = _scratch("eo_table")
+    ckpt = _scratch("eo_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, replay_batch0=True)
+    sink = MergeSink(table, n_partitions=8)
+    pipe = Pipeline(
+        spark,
+        {
+            "name": f"eo_{uuid.uuid4().hex[:8]}",
+            "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+            "transforms": [],
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": os.path.join(ckpt, "q"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    pipe.init()
+    q = pipe.run()
+    q.awaitTermination()
+    pipe.stop()
+    return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def stream_cursor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState per-conversation cursor over an
+    in-order feed with a replayed batch: emits each turn exactly once
+    (dstream's (LSN, Seq) cursor loop as a streaming operator)."""
+    feed = _scratch("cursor")
+    _write_feed(spark, sf_dir, feed, n_batches=4, replay_batch0=True, split_by_turn=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = cursor_dedup_stream(src)
+    name = f"stream_cursor_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

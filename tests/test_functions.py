@@ -1,0 +1,99 @@
+"""Text/similarity/multimodal function unit tests + the
+no-per-row-Python discipline check (SURVEY.md hard-part #4)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dstream_spark.functions.dedup_text import (
+    jaccard_pairs,
+    simhash_expr,
+    word_shingles,
+)
+from dstream_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+from dstream_spark.functions.similarity import cosine, cosine_topk
+from dstream_spark.functions.text import predicted_lang, quality_score, token_count
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_no_row_at_a_time_python_udfs():
+    """Ban F.udf / @udf in engine code: every Python crossing must be
+    Arrow-vectorized (pandas UDF / applyInPandas / mapInPandas)."""
+    bad = re.compile(r"(^|[^a-zA-Z_.])(F\.udf\(|udf\(lambda|@udf\b)")
+    offenders = []
+    for path in glob.glob(f"{REPO}/dstream_spark/**/*.py", recursive=True):
+        for i, line in enumerate(open(path), 1):
+            if bad.search(line):
+                offenders.append(f"{path}:{i}")
+    assert not offenders, offenders
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([("the a b c",), ("x",)], ["text"])
+    rows = df.select(token_count().alias("n"), quality_score().alias("q")).collect()
+    assert rows[0].n == 4 and rows[1].n == 1
+    assert abs(rows[0].q - (0.5 * 0.04 + 0.5 * 0.5)) < 1e-9
+
+
+def test_predicted_lang_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([("data query spark vector the",)], ["text"])
+    lang = df.select(predicted_lang().alias("l")).first().l
+    # all scores tie at 1 → lexicographically greatest code wins
+    assert lang == "zh"
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d x"), (2, "p q r s t")], ["doc_id", "text"]
+    )
+    sh = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert sh[0].s == ["a b c", "b c d", "c d e"]
+    pairs = jaccard_pairs(df, threshold=0.3).collect()
+    assert len(pairs) == 1 and pairs[0].id_a == 0 and pairs[0].id_b == 1
+    assert abs(pairs[0].jaccard - 0.5) < 1e-9  # 2 shared / (3+3-2)
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and agains"),
+            (2, "completely different words everywhere nothing shared at all here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.h for r in df.select("doc_id", simhash_expr("text").alias("h")).collect()}
+    d01 = bin(out[0] ^ out[1]).count("1")
+    d02 = bin(out[0] ^ out[2]).count("1")
+    assert d01 < d02
+
+
+def test_cosine_topk_self_similarity(spark):
+    rng = np.random.default_rng(0)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    # vec 29 = vec 0 scaled → cosine 1.0, must be vec 0's top neighbor
+    vecs[29] = (29, [2.0 * x for x in vecs[0][1]])
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = cosine_topk(df.filter(F.col("vec_id") == 0), df, k=3).collect()
+    assert out[0].n_id == 29 and abs(out[0].sim - 1.0) < 1e-6
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (0, "image", bytearray(b"\x89PNG fake"), {"w": "4", "h": "4"}),
+        (1, "audio", bytearray(b"RIFF fake"), {"sr": "16000"}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(df, dim=8).orderBy("media_id").collect()
+    assert [r.kind for r in out] == ["image", "audio"]
+    assert all(len(r.feature) == 8 for r in out)
+    assert out[0].n_bytes == 9
+    # deterministic: same payload → same feature
+    again = extract_features(df, dim=8).orderBy("media_id").collect()
+    assert [r.sha1 for r in out] == [r.sha1 for r in again]

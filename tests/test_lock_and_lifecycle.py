@@ -1,0 +1,100 @@
+"""Lock contract (D5: acquire / held-reject / stale-break,
+docs/capability-inventory.md:185-192) + lifecycle verbs (K6:
+init/plan/status/destroy, cmd/*.go) + graceful shutdown (K7)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from dstream_spark.sinks.merge import MergeSink
+from dstream_spark.streaming.pipeline import Lock, LockHeldError, Pipeline
+
+
+def test_lock_acquire_reject_stale_break(tmp_path):
+    lock = Lock(str(tmp_path / "x.lock"), ttl_s=0.5)
+    lock.acquire("writer-a")
+    with pytest.raises(LockHeldError):
+        lock.acquire("writer-b")  # held → second writer rejected
+    lock.acquire("writer-a")  # re-entrant for the owner (heartbeat)
+    time.sleep(0.6)
+    lock.acquire("writer-b")  # stale (>TTL) → broken, like the 2-min lease
+    lock.release("writer-b")
+    assert not (tmp_path / "x.lock").exists()
+
+
+def test_release_wrong_owner_is_noop(tmp_path):
+    lock = Lock(str(tmp_path / "y.lock"), ttl_s=10)
+    lock.acquire("a")
+    lock.release("b")
+    assert (tmp_path / "y.lock").exists()
+
+
+def test_lifecycle_verbs(spark, tmp_path):
+    sink = MergeSink(str(tmp_path / "tbl"))
+    pipe = Pipeline(
+        spark,
+        {
+            "name": "lc",
+            "source": {"type": "rate"},
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        },
+    )
+    plan = pipe.plan()
+    assert plan["status"] == "success"
+    init = pipe.init()
+    assert init["status"] == "success" and str(tmp_path / "ckpt") in init["resources"]
+    st = pipe.status()
+    assert st["active"] is False and st["sink"]["committed_batches"] == 0
+    destroyed = pipe.destroy()
+    assert destroyed["status"] == "success"
+    assert not (tmp_path / "tbl").exists()
+
+
+def test_graceful_shutdown_rate_stream(spark, tmp_path):
+    """run → stop within the grace window → lock released (SIGTERM +
+    10s grace analog, pkg/executor/providers.go:441-487)."""
+    sink = MergeSink(str(tmp_path / "tbl"), keys=("timestamp", "value"),
+                     partition_key="value", order_cols=("value",))
+    pipe = Pipeline(
+        spark,
+        {
+            "name": "shutdown_test",
+            "source": {"type": "rate", "rows_per_second": 5},
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "trigger": {"processingTime": "200 milliseconds"},
+        },
+    )
+    pipe.init()
+    q = pipe.run()
+    assert q.isActive
+    time.sleep(2.0)
+    t0 = time.time()
+    pipe.stop(grace_s=10.0)
+    assert time.time() - t0 < 10.0
+    assert not q.isActive
+    assert not (tmp_path / "ckpt" / "_dstream.lock").exists()
+
+
+def test_second_writer_rejected_while_running(spark, tmp_path):
+    sink = MergeSink(str(tmp_path / "tbl"), keys=("timestamp", "value"),
+                     partition_key="value", order_cols=("value",))
+    conf = {
+        "name": "single_writer",
+        "source": {"type": "rate", "rows_per_second": 1},
+        "sink": {"type": "merge", "sink": sink},
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "trigger": {"processingTime": "1 second"},
+    }
+    p1 = Pipeline(spark, conf)
+    p1.init()
+    p1.run(owner="proc-1")
+    try:
+        p2 = Pipeline(spark, conf)
+        with pytest.raises(LockHeldError):
+            p2.run(owner="proc-2")
+    finally:
+        p1.stop(owner="proc-1")

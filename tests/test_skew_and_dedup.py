@@ -1,0 +1,67 @@
+"""Skew salting (north rule) + dedup families + stateful cursor."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dstream_spark.fixtures.transcripts import generate_transcripts
+from dstream_spark.operators.dedup import dedup_keys, dedup_latest
+from dstream_spark.operators.skew import salted_agg
+
+
+def test_salted_agg_equals_plain_on_skewed_data(spark):
+    # conv c0 is 50× hot (zipf stand-in)
+    pdf = generate_transcripts(n_convs=5, turns_per_conv=20, hot_conv_factor=50)
+    df = spark.createDataFrame(pdf)
+    salted = (
+        salted_agg(
+            df,
+            keys=("conv_id",),
+            aggs={"n": ("count", "turn_idx"), "mx": ("max", "turn_idx"), "mn": ("min", "turn_idx")},
+            buckets=16,
+        )
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    plain = (
+        df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("mx"), F.min("turn_idx").alias("mn"))
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert salted.equals(plain)
+    assert int(plain[plain["conv_id"] == "c0"]["n"].iloc[0]) == 1000
+
+
+def test_salted_partial_spreads_hot_key(spark):
+    """The phase-1 grouping must actually fan the hot key out over
+    multiple salt buckets (otherwise salting is a no-op)."""
+    pdf = generate_transcripts(n_convs=3, turns_per_conv=10, hot_conv_factor=30)
+    df = spark.createDataFrame(pdf)
+    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(16))
+    n_buckets = (
+        df.filter(F.col("conv_id") == "c0").select(salt.alias("s")).distinct().count()
+    )
+    assert n_buckets >= 12  # 300 rows into 16 buckets → near-full spread
+
+
+def test_dedup_keys_removes_replays(spark):
+    pdf = generate_transcripts(n_convs=4, turns_per_conv=10, dup_fraction=0.3)
+    df = spark.createDataFrame(pdf)
+    out = dedup_keys(df)
+    assert out.count() == 4 * 10
+    assert out.select("conv_id", "turn_idx").distinct().count() == 4 * 10
+
+
+def test_dedup_latest_prefers_higher_version(spark):
+    pdf = generate_transcripts(n_convs=2, turns_per_conv=4)
+    df = spark.createDataFrame(pdf)
+    v1 = df.withColumn("_commit_version", F.lit(1))
+    v2 = df.withColumn("_commit_version", F.lit(2)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    )
+    out = dedup_latest(v1.unionAll(v2))
+    assert out.count() == 8
+    assert out.filter(~F.col("text").endswith(" v2")).count() == 0
