@@ -1,0 +1,102 @@
+"""Engine benchmark. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "stream": {...events/sec for the north-star CDC jobs...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+
+Headline set = the engine's core operators (CDC/window/join/skew
+family on the derived transcript stream, relational TPC-H subset,
+dedup/similarity training-data ops) timed to a noop sink (full plan
+execution, no collect cost), plus the two streaming pipelines from
+dstream_spark.bench_pipeline measured end-to-end in events/sec —
+the BASELINE.json metric. Scaling evidence (N vs 4N cores) is
+produced by tools/scaling_bench.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dstream_spark.queries import QUERIES  # noqa: E402
+from dstream_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "relay_identity",
+    "cdc_dedup",
+    "cdc_latest_state",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "tool_correlation",
+    "skew_salted_agg",
+    "lineage_summary",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_events_per_user",
+    "docs_token_stats",
+    "docs_fingerprint",
+    "docs_minhash_bands",
+    "docs_simhash",
+    "emb_cosine_topk",
+    "emb_ivf_assign",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # heap sized to parallelism (1.5g/core): micro-batch persist + state
+    # store + 32-way shuffle at 8g heap GC-thrashes (measured 27.5k/s
+    # vs 197k/s at 48g for the same 32-core job)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores * 3 // 2)}g")
+    spark = get_spark(app_name="dstream_bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/file cache so per-query numbers measure the engine
+    QUERIES["relay_identity"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    # north-star streaming pipelines (events/sec)
+    from dstream_spark.bench_pipeline import build_feed, run_dedup_sink, run_window_sink
+
+    feed_dir = os.environ.get("DSTREAM_BENCH_FEED", f"/tmp/dstream_bench_feed_{sf}")
+    build_feed(spark, sf_dir, feed_dir, replicas=10, n_slices=16)
+    stream = {
+        "dedup_sink": run_dedup_sink(spark, feed_dir, f"/tmp/dstream_bench_dedup_{cores}", n_partitions=cores),
+        "window_sink": run_window_sink(spark, feed_dir, f"/tmp/dstream_bench_window_{cores}", n_partitions=cores),
+    }
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cores": cores,
+                "stream": stream,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,16 +70,28 @@ def lsh_bands(df: DataFrame, num_perm: int = NUM_PERM, bands: int = BANDS) -> Da
     )
 
 
-def simhash_expr(text_col: str = "text", bits: int = 32) -> Column:
+def simhash_expr(text_col: str | Column = "text", bits: int = 32) -> Column:
     """SimHash over word tokens: per bit, majority vote of token-hash
     bits (hex-nibble decoding of md5 — portable to any SQL engine).
 
     bit b of token t = (nibble(md5(t), b // 4) >> (b % 4)) & 1
     simhash bit b    = 1 iff sum(2*bit - 1) > 0 over tokens
-    """
-    toks = F.split(F.col(text_col), " ")
-    hexes = F.transform(toks, F.md5)
 
+    Callers should materialize the token-hash array in a prior
+    projection and pass it as ``precomputed_hexes`` when building many
+    derived columns (see q_docs_simhash).
+    """
+    toks = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
+    return simhash_from_hexes(F.transform(toks, F.md5), bits)
+
+
+def token_hexes(text_col: str = "text") -> Column:
+    """md5 hex per whitespace token — materialize this once, then feed
+    simhash_from_hexes (avoids re-hashing per derived column)."""
+    return F.transform(F.split(F.col(text_col), " "), F.md5)
+
+
+def simhash_from_hexes(hexes: Column, bits: int = 32) -> Column:
     def nibble(h: Column, i: int) -> Column:
         # instr is 1-based; md5 hex is lowercase on both engines
         return F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1

@@ -323,9 +323,12 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
-    sig = d.select(
-        "doc_id", *dedup_text.minhash_signature(dedup_text.word_shingles("text", 3))
-    )
+    # materialize the shingle array ONCE in its own projection — the 8
+    # minhash columns then reference the array column instead of
+    # inlining split+transform+distinct 8× (8× less expression work;
+    # measured 56s → ~7s at sf0.1)
+    sh = d.select("doc_id", dedup_text.word_shingles("text", 3).alias("sh"))
+    sig = sh.select("doc_id", *dedup_text.minhash_signature(F.col("sh")))
     return dedup_text.lsh_bands(sig)
 
 
@@ -348,7 +351,8 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
-    return d.select("doc_id", dedup_text.simhash_expr("text", 32).alias("simhash"))
+    hx = d.select("doc_id", dedup_text.token_hexes("text").alias("hx"))
+    return hx.select("doc_id", dedup_text.simhash_from_hexes(F.col("hx"), 32).alias("simhash"))
 
 
 def q_docs_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

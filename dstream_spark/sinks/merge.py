@@ -77,6 +77,12 @@ class MergeSink:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in self.committed_batches():
             return  # replayed epoch — already committed, exactly-once
+        if self.version_col and self.version_col not in batch_df.columns:
+            # update-mode upserts: later epochs supersede earlier rows
+            # for the same key, so stamp the epoch as the version
+            batch_df = batch_df.withColumn(
+                self.version_col, F.lit(int(batch_id)).cast("long")
+            )
         if self.version_col and self.version_col in batch_df.columns:
             bdf = dedup_latest(batch_df, self.keys, self.version_col)
         else:
