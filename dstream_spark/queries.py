@@ -719,6 +719,38 @@ def _stream_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_cursor_dedup(spark, sf_dir)
 
 
+def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_session_windows
+
+    return stream_session_windows(spark, sf_dir)
+
+
+# closed sessions only: window end (last event + gap) <= final
+# watermark (max ts - delay); gap = delay = 30 min (predicate verified
+# at the boundary — see stream_session_windows docstring)
+ORACLES["stream_session_windows"] = _t_sql(
+    """
+, g AS (
+  SELECT conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+), s AS (
+  SELECT conv_id, ts,
+         SUM(new_s) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+), sess AS (
+  SELECT conv_id, session_idx, min(ts) AS s_start, max(ts) AS s_end, count(*) AS n_turns
+  FROM s GROUP BY 1, 2
+)
+SELECT s_start AS w_start, s_end + INTERVAL '30 minutes' AS w_end, conv_id, n_turns
+FROM sess
+WHERE s_end + INTERVAL '30 minutes' <= (SELECT max(ts) FROM transcripts) - INTERVAL '30 minutes'"""
+)
+
+
 QUERIES: dict[str, Query] = {
     "relay_identity": Query(q_relay_identity, ORACLES["relay_identity"]),
     "cdc_dedup": Query(q_cdc_dedup, ORACLES["cdc_dedup"]),
@@ -758,7 +790,18 @@ QUERIES: dict[str, Query] = {
         _stream_cursor, ORACLES["relay_identity"],
         "applyInPandasWithState per-conv cursor over in-order feed + replay",
     ),
+    "stream_session_windows": Query(
+        _stream_sessions,
+        ORACLES["stream_session_windows"],
+        "streaming session_window (append) == gaps-and-islands + closure predicate",
+    ),
     "emb_norms": Query(q_emb_norms, ORACLES["emb_norms"]),
     "emb_cosine_topk": Query(q_emb_cosine_topk, ORACLES["emb_cosine_topk"]),
     "emb_ivf_assign": Query(q_emb_ivf_assign, ORACLES["emb_ivf_assign"]),
 }
+
+# extended coverage (queries_ext.py) — merged at import so the driver
+# sees one flat registry
+from dstream_spark.queries_ext import EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)

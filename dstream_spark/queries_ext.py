@@ -1,0 +1,238 @@
+"""Extended operator coverage: as-of join, running/cumulative windows,
+rollup, pivot, median, semi/anti joins, arg_min/arg_max, term
+frequency, multimodal plumbing. Same contract as queries.py: each
+Spark program has a portable DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dstream_spark.fixtures.transcripts import register_tables
+from dstream_spark.queries import Query, _t_sql, _transcripts
+
+
+def q_asof_join_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (composition: interval join → row_number pick): for
+    each agent turn, the latest tool invocation at or before it within
+    1 hour, in the same conversation."""
+    from dstream_spark.operators.joins import asof_join
+
+    t = _transcripts(spark, sf_dir)
+    agents = t.filter(F.col("role") == "agent").select("conv_id", "turn_idx", "ts")
+    tools = t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool", "ts")
+    j = asof_join(agents, tools, max_lookback_s=3600)
+    return j.select(
+        "conv_id",
+        F.col("turn_idx").alias("agent_turn"),
+        F.col("turn_idx_r").alias("tool_turn"),
+        F.col("tool_r").alias("tool"),
+    )
+
+
+def q_running_turn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate per conversation (running count +
+    running max ts ordered by turn_idx)."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.count(F.lit(1)).over(w).alias("cum_turns"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).over(w).cast("bigint").alias("cum_tools"),
+    )
+
+
+def q_rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping over (event_type, value decile bucket)."""
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events").withColumn(
+        "bucket", (F.floor(F.col("value") / 100.0)).cast("int")
+    )
+    return (
+        e.rollup("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_conv_role_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-conversation role mix as columns."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.groupBy("conv_id")
+        .pivot("role", ["user", "agent", "tool"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["user", "agent", "tool"])
+        .select(
+            "conv_id",
+            F.col("user").alias("n_user"),
+            F.col("agent").alias("n_agent"),
+            F.col("tool").alias("n_tool"),
+        )
+    )
+
+
+def q_median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + stddev per event type."""
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events")
+    return e.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("median_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def q_orders_with_late_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): orders having a line item shipped >90 days
+    after the order date."""
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return o.join(li, cond, "leftsemi").select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    c = spark.table("customer")
+    o = spark.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "leftanti").select("c_custkey", "c_name")
+
+
+def q_conv_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_min/arg_max: first and last turn text per conversation."""
+    t = _transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.min_by("text", "turn_idx").alias("first_text"),
+        F.max_by("text", "turn_idx").alias("last_text"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+    )
+
+
+def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency via explode: top 20 tokens (count desc,
+    token asc tiebreak)."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    agg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return agg.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through mapInPandas: documents' text bytes
+    as opaque binary payloads → Arrow-batched feature extraction. The
+    oracle checks the Spark-side plumbing outputs (id, kind, byte
+    count, feature dim); the decode itself is the deterministic fake
+    (functions/multimodal.py)."""
+    from dstream_spark.functions.multimodal import extract_features
+
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.size("feature").cast("int").alias("feat_dim")
+    )
+
+
+EXT_ORACLES: dict[str, str] = {
+    "asof_join_tool": _t_sql(
+        """
+, agents AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'agent'),
+tools AS (SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool IS NOT NULL),
+j AS (
+  SELECT a.conv_id, a.turn_idx AS agent_turn, t.turn_idx AS tool_turn, t.tool,
+         row_number() OVER (PARTITION BY a.conv_id, a.ts ORDER BY t.ts DESC) AS rn
+  FROM agents a JOIN tools t
+    ON a.conv_id = t.conv_id
+   AND t.ts <= a.ts AND t.ts >= a.ts - INTERVAL '3600 seconds'
+)
+SELECT conv_id, agent_turn, tool_turn, tool FROM j WHERE rn = 1"""
+    ),
+    "running_turn_counts": _t_sql(
+        """
+SELECT conv_id, turn_idx,
+       count(*) OVER w AS cum_turns,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS BIGINT) AS cum_tools
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)"""
+    ),
+    "rollup_event_stats": """
+SELECT event_type, CAST(FLOOR(value / 100.0) AS INT) AS bucket,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(FLOOR(value / 100.0) AS INT))""",
+    "conv_role_pivot": _t_sql(
+        """
+SELECT conv_id,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'agent' THEN 1 ELSE 0 END) AS BIGINT) AS n_agent,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
+FROM transcripts GROUP BY 1"""
+    ),
+    "median_value_by_type": """
+SELECT event_type, round(median(value), 6) AS median_value,
+       round(stddev_samp(value), 6) AS sd_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1""",
+    "orders_with_late_lineitems": """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL '90 days'
+)""",
+    "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "conv_first_last": _t_sql(
+        """
+SELECT conv_id,
+       arg_min(text, turn_idx) AS first_text,
+       arg_max(text, turn_idx) AS last_text,
+       min(turn_idx) AS first_turn,
+       max(turn_idx) AS last_turn
+FROM transcripts GROUP BY 1"""
+    ),
+    "term_frequency": """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""",
+    "multimodal_features": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(8 AS INT) AS feat_dim
+FROM documents""",
+}
+
+
+EXT_QUERIES: dict[str, Query] = {
+    "asof_join_tool": Query(q_asof_join_tool, EXT_ORACLES["asof_join_tool"]),
+    "running_turn_counts": Query(q_running_turn_counts, EXT_ORACLES["running_turn_counts"]),
+    "rollup_event_stats": Query(q_rollup_event_stats, EXT_ORACLES["rollup_event_stats"]),
+    "conv_role_pivot": Query(q_conv_role_pivot, EXT_ORACLES["conv_role_pivot"]),
+    "median_value_by_type": Query(q_median_value_by_type, EXT_ORACLES["median_value_by_type"]),
+    "orders_with_late_lineitems": Query(
+        q_orders_with_late_lineitems, EXT_ORACLES["orders_with_late_lineitems"]
+    ),
+    "customers_without_orders": Query(
+        q_customers_without_orders, EXT_ORACLES["customers_without_orders"]
+    ),
+    "conv_first_last": Query(q_conv_first_last, EXT_ORACLES["conv_first_last"]),
+    "term_frequency": Query(q_term_frequency, EXT_ORACLES["term_frequency"]),
+    "multimodal_features": Query(q_multimodal_features, EXT_ORACLES["multimodal_features"]),
+}

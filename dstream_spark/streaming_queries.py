@@ -44,13 +44,17 @@ def _write_feed(
     n_batches: int = 4,
     replay_batch0: bool = False,
     split_by_turn: bool = False,
+    split_by_time: bool = False,
 ) -> None:
     """Land the derived transcripts as ordered change-feed files.
 
     ``split_by_turn``: batch b holds each conversation's turn range
     [b*L, (b+1)*L) — in-order delivery per conversation (the LSN-
-    ordered CDC poll, docs/plugins/mssql-ingester.md:70). Otherwise
-    rows are hash-split (arrival order ≠ turn order, the general case).
+    ordered CDC poll, docs/plugins/mssql-ingester.md:70).
+    ``split_by_time``: batch b = the b-th event-time quantile range —
+    globally quasi-ordered arrival (watermarks advance progressively;
+    required by append-mode watermark ops). Default: rows hash-split
+    (arrival order ≠ event order, the adversarial case).
     ``replay_batch0``: append a final file replaying batch 0's rows —
     the crash-replay overlap (docs/plugins/mssql-ingester.md:84-87).
     """
@@ -62,6 +66,12 @@ def _write_feed(
         masks = [
             (pdf["turn_idx"] >= b * per) & (pdf["turn_idx"] < (b + 1) * per)
             for b in range(n_batches)
+        ]
+    elif split_by_time:
+        ranks = pdf["ts"].rank(method="first")
+        per = (len(pdf) + n_batches - 1) // n_batches
+        masks = [
+            (ranks > b * per) & (ranks <= (b + 1) * per) for b in range(n_batches)
         ]
     else:
         idx = np.arange(len(pdf))
@@ -145,6 +155,31 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     pipe.stop()
     return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (append mode) over a quasi-ordered
+    feed: conversation-boundary detection with bounded state. Emission
+    semantics (verified empirically at the boundary): a session emits
+    once its window end (last event + gap) <= final watermark
+    (max event time - delay); the oracle applies the same predicate to
+    the gaps-and-islands batch sessions."""
+    feed = _scratch("sessw")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    from dstream_spark.operators.windows import session_stream
+
+    agg = session_stream(src, "30 minutes", keys=("conv_id",), watermark="30 minutes")
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def stream_cursor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
