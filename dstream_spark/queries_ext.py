@@ -148,6 +148,82 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_envelope_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 format projection: re-emit each turn as the reference's data
+    envelope {"metadata": {...}, "data": {...}} (readme.md:252-273,
+    capability-inventory.md:83-92) as a JSON string — byte-identical
+    to the DuckDB oracle's to_json (verified: same field order,
+    compact separators, same escaping)."""
+    t = _transcripts(spark, sf_dir)
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("conv_id").alias("TableName"),
+                F.col("turn_idx").alias("Seq"),
+                F.lit("Insert").alias("OperationType"),
+            ).alias("metadata"),
+            F.struct(F.col("role"), F.col("text")).alias("data"),
+        )
+    )
+    return t.select("conv_id", "turn_idx", env.alias("envelope"))
+
+
+def q_users_click_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT."""
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events")
+    clicked = e.filter(F.col("event_type") == "click").select("user_id")
+    errored = e.filter(F.col("event_type") == "error").select("user_id")
+    return clicked.intersect(errored)
+
+
+def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-UDF extension surface (the reference's 'write
+    providers in any language', readme.md:297-316 → 'write transforms
+    as Arrow-vectorized Python'): a scalar pandas_udf text normalizer.
+    Deliberately SQL-mirrorable so the Arrow path itself is
+    oracle-checked end-to-end."""
+    from dstream_spark.functions.udfs import norm_text
+
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return d.select("doc_id", norm_text(F.col("text")).alias("norm_text"))
+
+
+def q_stream_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream stateful interval join as a REAL streaming run
+    (both sides watermarked, ±10 min bound on conv_id), checked
+    against the batch join oracle."""
+    import uuid
+
+    from dstream_spark.operators.joins import interval_join
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("sjoin")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True)
+    a = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    t = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    agents = a.filter(F.col("role") == "agent").select("conv_id", "turn_idx", "ts")
+    tools = t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool", "ts")
+    j = interval_join(agents, tools, lower_s=600, upper_s=600, watermark="2 hours").select(
+        F.col("conv_id"),
+        F.col("turn_idx").alias("agent_turn"),
+        F.col("turn_idx_r").alias("tool_turn"),
+        F.col("tool_r").alias("tool"),
+    )
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 EXT_ORACLES: dict[str, str] = {
     "asof_join_tool": _t_sql(
         """
@@ -217,6 +293,32 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        CAST(8 AS INT) AS feat_dim
 FROM documents""",
+    "envelope_projection": _t_sql(
+        """
+SELECT conv_id, turn_idx,
+       to_json(struct_pack(
+         metadata := struct_pack(TableName := conv_id, Seq := turn_idx,
+                                 OperationType := 'Insert'),
+         data := struct_pack(role := role, text := text)
+       ))::VARCHAR AS envelope
+FROM transcripts"""
+    ),
+    "users_click_and_error": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+    "pandas_udf_norm": """
+SELECT doc_id, replace(lower(trim(text)), '  ', ' ') AS norm_text FROM documents""",
+    "stream_tool_join": _t_sql(
+        """
+SELECT a.conv_id AS conv_id, a.turn_idx AS agent_turn,
+       t.turn_idx AS tool_turn, t.tool AS tool
+FROM transcripts a
+JOIN transcripts t
+  ON a.conv_id = t.conv_id AND a.role = 'agent' AND t.tool IS NOT NULL
+ AND t.ts >= a.ts - INTERVAL '600 seconds'
+ AND t.ts <= a.ts + INTERVAL '600 seconds'"""
+    ),
 }
 
 
@@ -235,4 +337,11 @@ EXT_QUERIES: dict[str, Query] = {
     "conv_first_last": Query(q_conv_first_last, EXT_ORACLES["conv_first_last"]),
     "term_frequency": Query(q_term_frequency, EXT_ORACLES["term_frequency"]),
     "multimodal_features": Query(q_multimodal_features, EXT_ORACLES["multimodal_features"]),
+    "envelope_projection": Query(q_envelope_projection, EXT_ORACLES["envelope_projection"]),
+    "users_click_and_error": Query(q_users_click_and_error, EXT_ORACLES["users_click_and_error"]),
+    "pandas_udf_norm": Query(q_pandas_udf_norm, EXT_ORACLES["pandas_udf_norm"]),
+    "stream_tool_join": Query(
+        q_stream_tool_join, EXT_ORACLES["stream_tool_join"],
+        "REAL stream-stream watermarked interval join vs batch oracle",
+    ),
 }

@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        # RocksDB state store + changelog checkpointing: state lives
+        # off-heap (no JVM version-map bloat / GC stalls — see
+        # BENCH/NOTES.md) and commits append a changelog instead of
+        # snapshotting; the right default for large state at scale
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
         # keep micro-batch planning cheap in local tests
         .config("spark.sql.streaming.metricsEnabled", "true")
         .config("spark.ui.enabled", "false")
