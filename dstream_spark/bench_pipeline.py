@@ -120,16 +120,23 @@ def build_feed(
 def transform_stage(df):
     """The pipeline's vectorized text transforms (north rule: all text
     transforms JVM/Arrow-side): token stats, quality score, document
-    fingerprint. Pure projections — codegen'd, no shuffle."""
-    from dstream_spark.functions import text as textfn
+    fingerprint, and the 32-bit simhash used for near-dup blocking at
+    ingest. Pure projections — codegen'd, no shuffle; this is the
+    CPU-parallel portion of the per-event work."""
+    from pyspark.sql import functions as F
 
-    return df.withColumns(
+    from dstream_spark.functions import text as textfn
+    from dstream_spark.functions.dedup_text import simhash_from_hexes, token_hexes
+
+    staged = df.withColumns(
         {
             "n_tokens": textfn.token_count("text"),
             "quality": textfn.quality_score("text"),
             "fingerprint": textfn.fingerprint("text"),
+            "_hx": token_hexes("text"),
         }
     )
+    return staged.withColumn("simhash", simhash_from_hexes(F.col("_hx"), 32)).drop("_hx")
 
 
 def run_dedup_sink(

@@ -70,7 +70,7 @@ class MergeSink:
         return {
             int(d.split("=", 1)[1])
             for d in os.listdir(self.lineage_dir)
-            if d.startswith("batch_id=")
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
         }
 
     # -- the foreachBatch body ---------------------------------------
@@ -132,6 +132,64 @@ class MergeSink:
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self.lineage_dir).parquet(self.lineage_dir)
+
+    # -- maintenance ---------------------------------------------------
+    def compact(self, spark: SparkSession) -> int:
+        """Fold all committed batches into one base batch (latest
+        version per key), then drop the originals. Bounds read_table's
+        file listing on a long-running stream — the analog of Iceberg
+        snapshot expiration / rewrite_data_files. Must run under the
+        pipeline's single-writer lock (streaming/pipeline.py): the
+        commit-marker protocol makes a crash mid-compaction safe (the
+        new base's marker is renamed in before the old markers are
+        removed; a reader sees either the old set or old+new, and
+        latest-version dedup makes old+new harmless).
+
+        Returns the id of the new base batch.
+        """
+        committed = sorted(self.committed_batches())
+        if len(committed) <= 1:
+            return committed[0] if committed else -1
+        base_id = max(committed)  # reuse the max id: replays of it stay no-ops
+        snapshot = self.read_table(spark)
+        snapshot = snapshot.repartition(self.n_partitions, self.partition_key).sortWithinPartitions(
+            *self.order_cols
+        )
+        tmp_data = os.path.join(self.data_dir, f".compact-{uuid.uuid4().hex[:8]}")
+        snapshot.write.mode("overwrite").parquet(tmp_data)
+        lineage = (
+            spark.read.parquet(tmp_data)
+            .groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.max(self.partition_key).alias("max_conv_id"),
+                F.max(self.keys[-1]).alias("max_turn_idx"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.current_timestamp().alias("updated_at"),
+            )
+            .withColumn("batch_id", F.lit(int(base_id)).cast("long"))
+        )
+        tmp_lin = os.path.join(self.lineage_dir, f".compact-{uuid.uuid4().hex[:8]}")
+        lineage.coalesce(1).write.mode("overwrite").parquet(tmp_lin)
+        # safe swap order — at every step a reader sees a consistent
+        # set (new base is a superset; latest-version dedup absorbs the
+        # temporary overlap with old batches):
+        base_data = os.path.join(self.data_dir, f"batch_id={base_id}")
+        aside = base_data + ".old"
+        os.rename(base_data, aside)  # 1. move old base data aside
+        os.rename(tmp_data, base_data)  # 2. new full snapshot in place
+        base_marker = os.path.join(self.lineage_dir, f"batch_id={base_id}")
+        old_marker_aside = base_marker + ".old"
+        os.rename(base_marker, old_marker_aside)
+        os.rename(tmp_lin, base_marker)  # 3. marker now describes the snapshot
+        for b in committed:  # 4. retire superseded markers, THEN their data
+            if b != base_id:
+                shutil.rmtree(os.path.join(self.lineage_dir, f"batch_id={b}"), ignore_errors=True)
+        for b in committed:
+            if b != base_id:
+                shutil.rmtree(os.path.join(self.data_dir, f"batch_id={b}"), ignore_errors=True)
+        shutil.rmtree(aside, ignore_errors=True)
+        shutil.rmtree(old_marker_aside, ignore_errors=True)
+        return int(base_id)
 
     # -- lifecycle verbs (K6 analog: init/plan/status/destroy) --------
     def init(self) -> None:

@@ -1,0 +1,96 @@
+"""Sink compaction + handshake analogs (C2: crash/error detection at
+startup, pkg/executor/providers.go:313-405) + lifecycle timeout (K8).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dstream_spark.fixtures.transcripts import generate_transcripts
+from dstream_spark.sinks.merge import MergeSink
+from dstream_spark.streaming.pipeline import Pipeline
+
+
+def test_compaction_preserves_table_and_bounds_batches(spark, tmp_path):
+    pdf = generate_transcripts(n_convs=4, turns_per_conv=6)
+    sink = MergeSink(str(tmp_path / "tbl"), n_partitions=2)
+    sdf = spark.createDataFrame(pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]])
+    # five committed batches with disjoint turn ranges
+    for b in range(5):
+        part = sdf.filter((sdf.turn_idx % 5) == b)
+        sink.process_batch(part, b)
+    before = sink.read_table(spark).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(sink.committed_batches()) == 5
+
+    base = sink.compact(spark)
+    assert sink.committed_batches() == {base}
+    after = sink.read_table(spark).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert before.equals(after)
+
+    # replay of a folded epoch is still a no-op (ids <= base are committed
+    # history semantically; the marker for base covers them)
+    sink.process_batch(sdf.limit(3), base)
+    assert sink.read_table(spark).count() == len(before)
+
+    # a NEW epoch after compaction appends normally
+    extra = spark.createDataFrame(
+        generate_transcripts(n_convs=1, turns_per_conv=3, seed=9).assign(conv_id="cX")[
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ]
+    )
+    sink.process_batch(extra, base + 1)
+    assert sink.read_table(spark).count() == len(before) + 3
+
+
+def test_bad_source_type_fails_fast(spark, tmp_path):
+    """Handshake error analog: unknown provider → immediate error, not
+    a 30s hang (waitForReady error path)."""
+    pipe = Pipeline(
+        spark,
+        {
+            "name": "bad",
+            "source": {"type": "no_such_source"},
+            "sink": {"type": "console"},
+        },
+    )
+    with pytest.raises(KeyError, match="no_such_source"):
+        pipe.run()
+
+
+def test_missing_feed_path_fails_at_start(spark, tmp_path):
+    """Crash-at-startup analog: broken source surfaces an exception at
+    query start (not silence)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    pipe = Pipeline(
+        spark,
+        {
+            "name": "missing",
+            "source": {"type": "changefeed", "path": str(tmp_path / "nope")},
+            "sink": {"type": "memory", "name": "missing_out"},
+        },
+    )
+    with pytest.raises(AnalysisException):
+        pipe.run()
+
+
+def test_await_termination_timeout(spark, tmp_path):
+    """K8: lifecycle ops run under a bounded wait (the reference's
+    5-minute context timeout, providers.go:49)."""
+    sink = MergeSink(str(tmp_path / "tbl"), keys=("timestamp", "value"),
+                     partition_key="value", order_cols=("value",))
+    pipe = Pipeline(
+        spark,
+        {
+            "name": "timeout_test",
+            "source": {"type": "rate", "rows_per_second": 1},
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "trigger": {"processingTime": "1 second"},
+        },
+    )
+    q = pipe.run()
+    assert q.awaitTermination(timeout=2) is False  # still running at deadline
+    pipe.stop()
