@@ -224,6 +224,85 @@ def q_stream_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: all pairs above a
+    similarity threshold (brute-force exact — the verifier for any
+    ANN/LSH blocking scheme)."""
+    from dstream_spark.functions.similarity import cosine
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("ia", "ib", "cos")
+    )
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the scale path): assign all vectors to their
+    nearest centroid (vec_id < 8, broadcast), then search top-3 only
+    WITHIN the query's bucket. At 100 TB this turns an O(N·Q) scan
+    into O(N·K + Q·N/K): candidate generation shuffles only
+    (centroid_id) buckets, never the full corpus per query."""
+    from dstream_spark.functions.similarity import cosine, ivf_assign
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign(e, cents).select("vec_id", "c_id")
+    vecs = assigned.join(e, "vec_id").select("vec_id", "c_id", "embedding")
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("c_id").alias("q_c"), F.col("embedding").alias("q_vec")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("n_id"), F.col("c_id").alias("n_c"), F.col("embedding").alias("n_vec")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        c.join(F.broadcast(q), (F.col("q_c") == F.col("n_c")) & (F.col("q_id") != F.col("n_id")))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .select("q_id", "n_id", "sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= 3)
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a quasi-ordered feed with a
+    replayed first batch: duplicates are eliminated (in-watermark) or
+    dropped as late (behind it) — either way the output is each turn
+    exactly once, matching the identity oracle."""
+    import uuid
+
+    from dstream_spark.operators.dedup import dedup_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("wmdedup")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = dedup_stream(src, watermark="10 minutes").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    name = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 EXT_ORACLES: dict[str, str] = {
     "asof_join_tool": _t_sql(
         """
@@ -319,6 +398,45 @@ JOIN transcripts t
  AND t.ts >= a.ts - INTERVAL '600 seconds'
  AND t.ts <= a.ts + INTERVAL '600 seconds'"""
     ),
+    "emb_near_dup_pairs": """
+WITH p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT ia, ib, cos FROM p WHERE cos >= 0.4""",
+    "emb_ivf_topk": """
+WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+scored_c AS (
+  SELECT e.vec_id, c.c_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])))), 6) AS sim
+  FROM embeddings e JOIN cents c ON TRUE
+),
+assigned AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM scored_c
+  ) WHERE rn = 1
+),
+vecs AS (
+  SELECT a.vec_id, a.c_id, e.embedding FROM assigned a JOIN embeddings e USING (vec_id)
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 6) AS sim
+  FROM vecs q JOIN vecs n ON q.c_id = n.c_id AND q.vec_id < 20 AND n.vec_id != q.vec_id
+)
+SELECT q_id, n_id, sim, rank FROM (
+  SELECT q_id, n_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 3""",
 }
 
 
@@ -344,4 +462,15 @@ EXT_QUERIES: dict[str, Query] = {
         q_stream_tool_join, EXT_ORACLES["stream_tool_join"],
         "REAL stream-stream watermarked interval join vs batch oracle",
     ),
+    "emb_near_dup_pairs": Query(q_emb_near_dup_pairs, EXT_ORACLES["emb_near_dup_pairs"]),
+    "emb_ivf_topk": Query(q_emb_ivf_topk, EXT_ORACLES["emb_ivf_topk"]),
+    "stream_dedup_watermark": Query(
+        q_stream_dedup_watermark,
+        None,  # resolved below: identity oracle lives in queries.ORACLES
+        "dropDuplicatesWithinWatermark over replayed feed == identity",
+    ),
 }
+
+from dstream_spark.queries import ORACLES as _CORE_ORACLES  # noqa: E402
+
+EXT_QUERIES["stream_dedup_watermark"].oracle = _CORE_ORACLES["relay_identity"]
