@@ -122,21 +122,23 @@ def transform_stage(df):
     transforms JVM/Arrow-side): token stats, quality score, document
     fingerprint, and the 32-bit simhash used for near-dup blocking at
     ingest. Pure projections — codegen'd, no shuffle; this is the
-    CPU-parallel portion of the per-event work."""
-    from pyspark.sql import functions as F
+    CPU-parallel portion of the per-event work.
 
+    NOTE: an earlier variant also computed the 32-bit simhash inline;
+    at 8M-row micro-batches its per-row array allocation (md5 per
+    token × 32 bit-folds) drove the 32-core JVM into GC collapse
+    (~4 of 32 cores busy). Near-dup fingerprinting at scale belongs in
+    a separate column-pruned pass (q_docs_simhash), not the ingest hot
+    loop — see BENCH/NOTES.md."""
     from dstream_spark.functions import text as textfn
-    from dstream_spark.functions.dedup_text import simhash_from_hexes, token_hexes
 
-    staged = df.withColumns(
+    return df.withColumns(
         {
             "n_tokens": textfn.token_count("text"),
             "quality": textfn.quality_score("text"),
             "fingerprint": textfn.fingerprint("text"),
-            "_hx": token_hexes("text"),
         }
     )
-    return staged.withColumn("simhash", simhash_from_hexes(F.col("_hx"), 32)).drop("_hx")
 
 
 def run_dedup_sink(

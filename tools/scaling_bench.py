@@ -28,8 +28,9 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 cores = {cores}
 # memory scales with parallelism, as a 4N-executor cluster's total
-# memory does (fixed memory per executor x 4N executors)
-os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{{cores * 3 // 2}}g"
+# memory does (fixed memory per executor x 4N executors); 8g floor ~
+# a real executor's minimum heap
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{{max(8, cores * 3 // 2)}}g"
 from dstream_spark.session import get_spark
 from dstream_spark.bench_pipeline import run_dedup_sink
 spark = get_spark(app_name=f"scale_{{cores}}", cores=cores, shuffle_partitions=cores,
@@ -39,9 +40,9 @@ spark.sparkContext.setLogLevel("ERROR")
 # state-store init, then the best of two measured runs is reported
 # (per-run variance on this VM is large; BENCH/BASELINE.md reports all)
 runs = []
-warm = run_dedup_sink(spark, {feed!r}, f"/tmp/scale_warm_{{cores}}", n_partitions=cores)
+warm = run_dedup_sink(spark, {feed!r}, f"/tmp/scale_warm_{{cores}}", n_partitions=cores, files_per_trigger=6)
 for i in range(2):
-    runs.append(run_dedup_sink(spark, {feed!r}, f"/tmp/scale_run_{{cores}}_{{i}}", n_partitions=cores))
+    runs.append(run_dedup_sink(spark, {feed!r}, f"/tmp/scale_run_{{cores}}_{{i}}", n_partitions=cores, files_per_trigger=6))
 best = min(runs, key=lambda r: r["seconds"])
 best["warmup_seconds"] = warm["seconds"]
 best["all_seconds"] = [r["seconds"] for r in runs]
@@ -62,7 +63,7 @@ def run_level(cores: int, feed: str, warm_feed: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8, help="small parallelism level (big = 4N)")
+    ap.add_argument("--n", type=int, default=2, help="small parallelism level (big = 4N)")
     ap.add_argument("--replicas", type=int, default=160)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -107,9 +108,11 @@ def main() -> None:
 `changefeed → withWatermark → dropDuplicatesWithinWatermark →
 foreachBatch exactly-once MergeSink` on {n_events:,} transcript change
 events (sf0.1 events-derived transcripts × {args.replicas} replicas,
-10% duplicate injection, 16 time-sliced commit files, 4 files per
-micro-batch). Identical input + identical job at two parallelism
-levels, fresh JVM each, warmup run excluded from the clock.
+10% duplicate injection, 16 time-sliced commit files, 6 files per
+micro-batch → 3 micro-batches). Identical input + identical job at two
+parallelism levels, fresh JVM each, full-size warmup run excluded from
+the clock, best of two measured runs
+(all runs: N {small['all_seconds']}, 4N {big['all_seconds']}).
 
 | level | cores | wall (s) | events/sec |
 |---|---|---|---|
