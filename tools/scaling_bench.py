@@ -40,8 +40,8 @@ spark.sparkContext.setLogLevel("ERROR")
 # state-store init, then the best of two measured runs is reported
 # (per-run variance on this VM is large; BENCH/BASELINE.md reports all)
 runs = []
-warm = run_dedup_sink(spark, {feed!r}, f"/tmp/scale_warm_{{cores}}", n_partitions=cores, files_per_trigger=6)
-for i in range(2):
+warm = run_dedup_sink(spark, {warm_feed!r}, f"/tmp/scale_warm_{{cores}}", n_partitions=cores, files_per_trigger=6)
+for i in range({n_runs}):
     runs.append(run_dedup_sink(spark, {feed!r}, f"/tmp/scale_run_{{cores}}_{{i}}", n_partitions=cores, files_per_trigger=6))
 best = min(runs, key=lambda r: r["seconds"])
 best["warmup_seconds"] = warm["seconds"]
@@ -50,8 +50,8 @@ print("CHILD_RESULT " + json.dumps(best))
 """
 
 
-def run_level(cores: int, feed: str, warm_feed: str) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, feed=feed, warm_feed=warm_feed)
+def run_level(cores: int, feed: str, warm_feed: str, n_runs: int = 1) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, feed=feed, warm_feed=warm_feed, n_runs=n_runs)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -64,7 +64,8 @@ def run_level(cores: int, feed: str, warm_feed: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2, help="small parallelism level (big = 4N)")
-    ap.add_argument("--replicas", type=int, default=160)
+    ap.add_argument("--replicas", type=int, default=320)
+    ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -76,13 +77,15 @@ def main() -> None:
     spark = get_spark(app_name="scale_feed", cores=16)
     spark.sparkContext.setLogLevel("ERROR")
     feed = f"/tmp/dstream_scale_feed_r{args.replicas}"
-    warm_feed = "/tmp/dstream_scale_warmfeed"
+    # warmup at half volume: pays JIT/codegen/state init at real batch
+    # sizes without doubling the measured-run budget
+    warm_feed = f"/tmp/dstream_scale_feed_r{args.replicas // 2}"
     n_events = build_feed(spark, args.sf_dir, feed, replicas=args.replicas, n_slices=16)
-    build_feed(spark, args.sf_dir, warm_feed, replicas=2, n_slices=4)
+    build_feed(spark, args.sf_dir, warm_feed, replicas=args.replicas // 2, n_slices=16)
     spark.stop()
 
-    small = run_level(args.n, feed, warm_feed)
-    big = run_level(4 * args.n, feed, warm_feed)
+    small = run_level(args.n, feed, warm_feed, args.runs)
+    big = run_level(4 * args.n, feed, warm_feed, args.runs)
     ratio = big["events_per_sec"] / small["events_per_sec"]
     eff = ratio / 4.0
     result = {
@@ -111,8 +114,8 @@ events (sf0.1 events-derived transcripts × {args.replicas} replicas,
 10% duplicate injection, 16 time-sliced commit files, 6 files per
 micro-batch → 3 micro-batches). Identical input + identical job at two
 parallelism levels, fresh JVM each, full-size warmup run excluded from
-the clock, best of two measured runs
-(all runs: N {small['all_seconds']}, 4N {big['all_seconds']}).
+the clock (warmup at half volume), measured runs:
+N {small['all_seconds']} s, 4N {big['all_seconds']} s.
 
 | level | cores | wall (s) | events/sec |
 |---|---|---|---|
