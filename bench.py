@@ -77,6 +77,9 @@ def main() -> None:
 
     feed_dir = os.environ.get("DSTREAM_BENCH_FEED", f"/tmp/dstream_bench_feed_{sf}")
     build_feed(spark, sf_dir, feed_dir, replicas=10, n_slices=16)
+    # steady-state protocol (BENCH/NOTES.md): first streaming run in a
+    # JVM pays JIT/codegen/state-store init — warm once, then measure
+    run_dedup_sink(spark, feed_dir, f"/tmp/dstream_bench_warm_{cores}", n_partitions=cores)
     stream = {
         "dedup_sink": run_dedup_sink(spark, feed_dir, f"/tmp/dstream_bench_dedup_{cores}", n_partitions=cores),
         "window_sink": run_window_sink(spark, feed_dir, f"/tmp/dstream_bench_window_{cores}", n_partitions=cores),
