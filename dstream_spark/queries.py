@@ -176,9 +176,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            # money sums: per-row binary-exact cents (floor(x*100+.5)),
+            # exact BIGINT sum, /100.0 — identical on any engine and any
+            # partitioning (plain round() diverges: Spark rounds the
+            # double's decimal shortest-repr, DuckDB rounds numerically)
+            (F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")) / 100.0).alias("sum_qty"),
+            (F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0).alias("sum_base_price"),
+            (F.sum(F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5).cast("long")) / 100.0).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -193,7 +197,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
     j = li.join(o, li.l_orderkey == o.o_orderkey).join(F.broadcast(c), o.o_custkey == c.c_custkey)
     agg = j.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        (F.sum(F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5).cast("long")) / 100.0).alias("revenue")
     )
     return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
@@ -216,7 +220,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5).cast("long")) / 100.0).alias("revenue"))
     )
 
 
@@ -231,7 +235,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg((F.sum(F.floor((F.col("l_extendedprice") * F.col("l_discount")) * 100 + 0.5).cast("long")) / 100.0).alias("revenue"))
     )
 
 
@@ -259,7 +263,9 @@ def q_daily_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("bigint").alias(f"n_{t}")
         for t in ("click", "view", "purchase", "signup", "error")
     ]
-    return e.groupBy(day).agg(*aggs, F.round(F.sum("value"), 2).alias("total_value"))
+    return e.groupBy(day).agg(
+        *aggs, (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0).alias("total_value")
+    )
 
 
 def q_clicked_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,9 +546,9 @@ WHERE ts >= (SELECT max(ts) FROM transcripts) - INTERVAL '7 days'"""
     ),
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS count_order
@@ -551,7 +557,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2""",
     "tpch_q3": """
 SELECT l_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -563,7 +569,7 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10""",
     "tpch_q5": """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -573,7 +579,7 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE c_nationkey = s_nationkey
 GROUP BY 1, 2""",
     "tpch_q6": """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -592,7 +598,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-       round(sum(value), 2) AS total_value
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events GROUP BY 1""",
     "clicked_never_purchased": """
 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

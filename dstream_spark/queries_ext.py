@@ -53,7 +53,10 @@ def q_rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.rollup("event_type", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0).alias("sum_value"),
+        )
     )
 
 
@@ -224,6 +227,48 @@ def q_stream_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (no l_commitdate in the fixture): order counts
+    per priority for orders with a line item shipped >30 days after
+    the order date — semi-join + grouped count."""
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    li = spark.table("lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted: top 20 customers by revenue from line items
+    shipped in a quarter (join chain + agg + deterministic top-k)."""
+    register_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    c = spark.table("customer")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
+    n = spark.table("nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        (F.sum(F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5).cast("long")) / 100.0).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: all pairs above a
     similarity threshold (brute-force exact — the verifier for any
@@ -327,7 +372,7 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)"""
     ),
     "rollup_event_stats": """
 SELECT event_type, CAST(FLOOR(value / 100.0) AS INT) AS bucket,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+       count(*) AS n, CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events
 GROUP BY ROLLUP (event_type, CAST(FLOOR(value / 100.0) AS INT))""",
     "conv_role_pivot": _t_sql(
@@ -398,6 +443,27 @@ JOIN transcripts t
  AND t.ts >= a.ts - INTERVAL '600 seconds'
  AND t.ts <= a.ts + INTERVAL '600 seconds'"""
     ),
+    "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL '30 days')
+GROUP BY 1""",
+    "tpch_q10": """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20""",
     "emb_near_dup_pairs": """
 WITH p AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -462,6 +528,8 @@ EXT_QUERIES: dict[str, Query] = {
         q_stream_tool_join, EXT_ORACLES["stream_tool_join"],
         "REAL stream-stream watermarked interval join vs batch oracle",
     ),
+    "tpch_q4": Query(q_tpch_q4, EXT_ORACLES["tpch_q4"]),
+    "tpch_q10": Query(q_tpch_q10, EXT_ORACLES["tpch_q10"]),
     "emb_near_dup_pairs": Query(q_emb_near_dup_pairs, EXT_ORACLES["emb_near_dup_pairs"]),
     "emb_ivf_topk": Query(q_emb_ivf_topk, EXT_ORACLES["emb_ivf_topk"]),
     "stream_dedup_watermark": Query(
