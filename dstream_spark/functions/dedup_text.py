@@ -26,14 +26,21 @@ BANDS = 4  # LSH bands → rows_per_band = NUM_PERM // BANDS
 
 
 def word_shingles(text_col: str = "text", k: int = 3) -> Column:
-    """Distinct word k-grams as an array<string>."""
+    """Distinct word k-grams as an array<string>; EMPTY array for
+    documents shorter than k tokens. The short-doc branch matters:
+    sequence(1, n) with n <= 0 yields the DESCENDING array [1, 0] in
+    Spark (and slice(toks, 0, k) then throws), while DuckDB's
+    generate_series(1, 0) is empty — so both the crash and the oracle
+    divergence are avoided by guarding on token count."""
     toks = F.split(F.col(text_col), " ")
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    n = F.size(toks) - F.lit(k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _seeded_md5(seed: int):
@@ -112,6 +119,66 @@ def simhash_from_hexes(hexes: Column, bits: int = 32) -> Column:
 
 def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("int") if bits <= 64 else None
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 32,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance <= max_hamming WITHOUT the
+    all-pairs cross join: pigeonhole banding. Split the fingerprint
+    into max_hamming+1 bit segments; any pair within max_hamming
+    differs in at most max_hamming segments, so at least one segment
+    is bit-identical — candidates are exactly the pairs sharing a
+    (segment_idx, segment_value) key, found by an equi-join (the same
+    bucketed-join shape as lsh_bands). Hamming is then verified on the
+    candidates only. Output is identical to the brute-force join.
+
+    Scale note: pruning power is bounded by segment-value cardinality
+    (2^(bits/(max_hamming+1)) buckets per segment). With a 32-bit hash
+    and distance 8 that's 8-16 buckets per segment — adequate here;
+    at 10^9+ docs use a 64/128-bit simhash (7-14-bit segments) with
+    this same operator, which is the Manku-et-al. permuted-table
+    scheme expressed relationally.
+    """
+    n_seg = max_hamming + 1
+    base, extra = divmod(bits, n_seg)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_seg)]
+    offsets = [sum(sizes[:i]) for i in range(n_seg)]
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col(hash_col), offsets[i])
+                .bitwiseAND(F.lit((1 << sizes[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_seg)
+        ]
+    )
+    ex = (
+        df.select(id_col, hash_col, F.explode(segs).alias("s"))
+        .select(id_col, hash_col, F.col("s.seg").alias("seg"), F.col("s.val").alias("val"))
+    )
+    l, r = ex.alias("l"), ex.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming_distance(F.col(f"l.{hash_col}"), F.col(f"r.{hash_col}")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)  # verify BEFORE the dedup shuffle
+        .distinct()  # a pair can collide in several segments
+    )
 
 
 def jaccard_pairs(

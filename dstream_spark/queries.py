@@ -18,37 +18,18 @@ Conventions that make the comparison exact:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dstream_spark.fixtures.transcripts import TRANSCRIPTS_CTE, register_tables
+from dstream_spark.fixtures.transcripts import register_tables
 from dstream_spark.functions import dedup_text, similarity, text as textfn
 from dstream_spark.operators import cdc, dedup, joins, skew, windows
-
-ALL_TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
+from dstream_spark.queries_base import (  # noqa: F401  (re-exported)
+    ALL_TABLES,
+    Query,
+    _t_sql,
+    _transcripts,
 )
-
-
-@dataclass
-class Query:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    note: str = ""
-
-
-def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dstream_spark.fixtures.transcripts import transcripts_from_events
-
-    return transcripts_from_events(spark, sf_dir)
-
-
-def _t_sql(body: str) -> str:
-    return f"WITH {TRANSCRIPTS_CTE} {body}"
 
 
 # ================================================================= #
@@ -213,7 +194,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -334,7 +315,8 @@ def q_docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlining split+transform+distinct 8× (8× less expression work;
     # measured 56s → ~7s at sf0.1)
     sh = d.select("doc_id", dedup_text.word_shingles("text", 3).alias("sh"))
-    sig = sh.select("doc_id", *dedup_text.minhash_signature(F.col("sh")))
+    # docs shorter than the shingle size have no signature (both sides)
+    sig = sh.filter(F.size("sh") > 0).select("doc_id", *dedup_text.minhash_signature(F.col("sh")))
     return dedup_text.lsh_bands(sig)
 
 
@@ -362,18 +344,13 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at hamming distance ≤ 8 over 32-bit simhash."""
+    """Near-dup pairs at hamming distance ≤ 8 over 32-bit simhash, via
+    pigeonhole segment banding (9 segments; hamming ≤ 8 ⇒ ≥1 segment
+    identical) — an equi-join on (segment, value), never an all-pairs
+    cross join. Output is identical to brute force; the oracle computes
+    it brute-force in DuckDB as the ground truth."""
     s = q_docs_simhash(spark, sf_dir)
-    l, r = s.alias("l"), s.alias("r")
-    return (
-        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
-        .withColumn(
-            "hamming",
-            dedup_text.hamming_distance(F.col("l.simhash"), F.col("r.simhash")),
-        )
-        .filter(F.col("hamming") <= 8)
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"), "hamming")
-    )
+    return dedup_text.simhash_near_dups(s, bits=32, max_hamming=8)
 
 
 # ================================================================= #
@@ -469,8 +446,22 @@ _MINHASH_COLS = ",\n       ".join(
 )
 
 _BAND_ROWS = dedup_text.NUM_PERM // dedup_text.BANDS
-_BAND_STRUCTS = ", ".join(
-    "(" + str(b) + ", md5(" + " || '|' || ".join(f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)) + "))"
+
+# the minhash signature CTE + per-band projection, shared by the bands
+# and pairs oracles (WHERE len(sh) > 0 mirrors the Spark-side guard:
+# docs shorter than the shingle size have no signature)
+_SIG_CTE = f"""sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+), sig AS (
+  SELECT doc_id,
+       {_MINHASH_COLS}
+  FROM sh WHERE len(sh) > 0
+)"""
+_BANDS_BODY = "\nUNION ALL\n".join(
+    "SELECT doc_id, CAST({b} AS INT) AS band, md5({expr}) AS band_hash FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)),
+    )
     for b in range(dedup_text.BANDS)
 )
 
@@ -639,24 +630,16 @@ WITH sh AS (
 )
 SELECT id_a, id_b, round(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) AS jaccard
 FROM pairs WHERE round(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= 0.12""",
-    "docs_minhash_bands": f"""
-WITH sh AS (
-  SELECT doc_id, {_SHINGLES} AS sh FROM documents
-), sig AS (
-  SELECT doc_id,
-       {_MINHASH_COLS}
-  FROM sh
+    "docs_minhash_bands": f"WITH {_SIG_CTE}\n{_BANDS_BODY}",
+    "docs_minhash_pairs": f"""
+WITH {_SIG_CTE}, bands AS (
+{_BANDS_BODY}
 )
-"""
-    + "\nUNION ALL\n".join(
-        "SELECT doc_id, CAST({b} AS INT) AS band, md5({expr}) AS band_hash FROM sig".format(
-            b=b,
-            expr=" || '|' || ".join(
-                f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)
-            ),
-        )
-        for b in range(dedup_text.BANDS)
-    ),
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_bands
+FROM bands l
+JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+GROUP BY 1, 2""",
     "docs_simhash": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -781,7 +764,9 @@ QUERIES: dict[str, Query] = {
     "docs_fingerprint": Query(q_docs_fingerprint, ORACLES["docs_fingerprint"]),
     "docs_ngram_jaccard": Query(q_docs_ngram_jaccard, ORACLES["docs_ngram_jaccard"]),
     "docs_minhash_bands": Query(q_docs_minhash_bands, ORACLES["docs_minhash_bands"]),
-    "docs_minhash_pairs": Query(q_docs_minhash_pairs, None, "LSH pairs derived from bands"),
+    "docs_minhash_pairs": Query(
+        q_docs_minhash_pairs, ORACLES["docs_minhash_pairs"], "LSH pairs derived from bands"
+    ),
     "docs_simhash": Query(q_docs_simhash, ORACLES["docs_simhash"]),
     "docs_simhash_dups": Query(q_docs_simhash_dups, ORACLES["docs_simhash_dups"]),
     "stream_tumbling_counts": Query(

@@ -1,0 +1,45 @@
+"""Shared query-registry primitives.
+
+Both queries.py and queries_ext.py need the Query dataclass, the
+transcript derivation, and the shared-CTE SQL helper. They live here
+(not in queries.py) so the two registry modules have no import cycle:
+queries.py merges queries_ext.EXT_QUERIES at its bottom, and
+queries_ext imports only this module — either import order works.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dstream_spark.fixtures.transcripts import TRANSCRIPTS_CTE
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    note: str = ""
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.fixtures.transcripts import transcripts_from_events
+
+    return transcripts_from_events(spark, sf_dir)
+
+
+def _t_sql(body: str) -> str:
+    return f"WITH {TRANSCRIPTS_CTE} {body}"
+
+
+# the ordered-relay identity oracle — shared by relay_identity and the
+# streaming exactly-once / dedup queries (their contract is "each turn
+# exactly once")
+IDENTITY_SQL = _t_sql("SELECT * FROM transcripts")

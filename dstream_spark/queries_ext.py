@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dstream_spark.fixtures.transcripts import register_tables
-from dstream_spark.queries import Query, _t_sql, _transcripts
+from dstream_spark.queries_base import IDENTITY_SQL, Query, _t_sql, _transcripts
 
 
 def q_asof_join_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,11 +534,7 @@ EXT_QUERIES: dict[str, Query] = {
     "emb_ivf_topk": Query(q_emb_ivf_topk, EXT_ORACLES["emb_ivf_topk"]),
     "stream_dedup_watermark": Query(
         q_stream_dedup_watermark,
-        None,  # resolved below: identity oracle lives in queries.ORACLES
+        IDENTITY_SQL,
         "dropDuplicatesWithinWatermark over replayed feed == identity",
     ),
 }
-
-from dstream_spark.queries import ORACLES as _CORE_ORACLES  # noqa: E402
-
-EXT_QUERIES["stream_dedup_watermark"].oracle = _CORE_ORACLES["relay_identity"]

@@ -59,6 +59,59 @@ def test_shingles_and_jaccard(spark):
     assert abs(pairs[0].jaccard - 0.5) < 1e-9  # 2 shared / (3+3-2)
 
 
+def test_shingles_short_docs_empty(spark):
+    """Docs with fewer than k tokens shingle to an EMPTY array (not a
+    crash: sequence(1, n<=0) is descending in Spark and slice(.., 0, k)
+    throws). Jaccard/minhash then skip them, matching DuckDB's empty
+    generate_series semantics."""
+    df = spark.createDataFrame(
+        [(0, "one"), (1, "just two"), (2, "now three tokens"), (3, "a b c d")],
+        ["doc_id", "text"],
+    )
+    sh = {r.doc_id: r.s for r in df.select("doc_id", word_shingles("text", 3).alias("s")).collect()}
+    assert sh[0] == [] and sh[1] == []
+    assert sh[2] == ["now three tokens"]
+    assert sh[3] == ["a b c", "b c d"]
+    # pair ops tolerate the short docs end-to-end
+    assert jaccard_pairs(df, threshold=0.1).collect() == []
+
+
+def test_simhash_banded_dups_equal_brute_force(spark):
+    """simhash_near_dups (pigeonhole segment join) must return exactly
+    the brute-force all-pairs result."""
+    from dstream_spark.functions.dedup_text import hamming_distance, simhash_near_dups
+
+    rng = np.random.default_rng(7)
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    words = base.split()
+    for i in range(60):
+        w = list(words)
+        for _ in range(int(rng.integers(0, 6))):  # 0-5 word edits
+            w[int(rng.integers(0, len(w)))] = f"w{int(rng.integers(0, 50))}"
+        rows.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = df.select("doc_id", simhash_expr("text").alias("simhash"))
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(sig, bits=32, max_hamming=8).collect()
+    }
+    l, r_ = sig.alias("l"), sig.alias("r")
+    brute = {
+        (row.id_a, row.id_b, row.hamming)
+        for row in (
+            l.join(r_, F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("id_a"),
+                F.col("r.doc_id").alias("id_b"),
+                hamming_distance(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 8)
+        ).collect()
+    }
+    assert banded == brute and len(banded) > 0
+
+
 def test_simhash_similar_texts_close(spark):
     df = spark.createDataFrame(
         [
