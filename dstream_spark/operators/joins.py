@@ -63,15 +63,25 @@ def asof_join(
     key: str = "conv_id",
     ts_col: str = "ts",
     max_lookback_s: int = 3600,
+    left_id: str = "turn_idx",
+    right_tiebreak: str = "turn_idx",
 ) -> DataFrame:
     """Batch as-of join: for each left row, the latest right row at or
     before it (within a bounded lookback so the join stays an interval
     equi-join, not a cross product). Composition of existing ops per
     the brief: interval join → row_number pick — no custom physical
     operator needed.
+
+    The pick window partitions on the LEFT ROW'S identity (key +
+    ``left_id``), not on (key, ts): two distinct left rows sharing a
+    timestamp each keep their own match. Ties on the right timestamp
+    break deterministically on ``right_tiebreak`` (descending) so the
+    output is stable under any partitioning.
     """
     from pyspark.sql import Window
 
     j = interval_join(left, right, key, ts_col, lower_s=max_lookback_s, upper_s=0)
-    w = Window.partitionBy(key, ts_col).orderBy(F.col(f"{ts_col}_r").desc())
+    w = Window.partitionBy(key, left_id).orderBy(
+        F.col(f"{ts_col}_r").desc(), F.col(f"{right_tiebreak}_r").desc()
+    )
     return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

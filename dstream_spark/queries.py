@@ -69,6 +69,31 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def q_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL OperationType surface (insert/update/delete — the
+    reference's CDC envelope, docs/capability-inventory.md:165-166; SQL
+    Server CDC __$operation includes deletes): v2 edits every 5th turn,
+    v3 deletes every 7th; apply_changes keeps the latest version per
+    key and drops keys whose latest change is a delete."""
+    t = _transcripts(spark, sf_dir)
+    v1 = t.withColumn("_commit_version", F.lit(1).cast("long")).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    v2 = (
+        t.filter(F.col("turn_idx") % 5 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [edited]")))
+        .withColumn("_commit_version", F.lit(2).cast("long"))
+        .withColumn("_change_type", F.lit("update"))
+    )
+    v3 = (
+        t.filter(F.col("turn_idx") % 7 == 0)
+        .withColumn("_commit_version", F.lit(3).cast("long"))
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    out = cdc.apply_changes(v1.unionAll(v2).unionAll(v3))
+    return out.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per conversation: turn counts + agent
     turns (north-rule windowed aggregate; runs identically on the
@@ -502,6 +527,21 @@ SELECT DISTINCT * FROM (
 )
 SELECT conv_id, turn_idx, role, text, tool, ts FROM ranked WHERE rn = 1"""
     ),
+    "cdc_with_deletes": _t_sql(
+        """
+, feed AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, 1 AS v, 'insert' AS op FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text || ' [edited]', tool, ts, 2 AS v, 'update' AS op
+  FROM transcripts WHERE turn_idx % 5 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text, tool, ts, 3 AS v, 'delete' AS op
+  FROM transcripts WHERE turn_idx % 7 = 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY v DESC) AS rn FROM feed
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM ranked WHERE rn = 1 AND op != 'delete'"""
+    ),
     "tumbling_counts": _t_sql(
         """
 SELECT date_trunc('hour', ts) AS w_start,
@@ -744,6 +784,7 @@ QUERIES: dict[str, Query] = {
     "relay_identity": Query(q_relay_identity, ORACLES["relay_identity"]),
     "cdc_dedup": Query(q_cdc_dedup, ORACLES["cdc_dedup"]),
     "cdc_latest_state": Query(q_cdc_latest_state, ORACLES["cdc_latest_state"]),
+    "cdc_with_deletes": Query(q_cdc_with_deletes, ORACLES["cdc_with_deletes"]),
     "tumbling_counts": Query(q_tumbling_counts, ORACLES["tumbling_counts"]),
     "sliding_counts": Query(q_sliding_counts, ORACLES["sliding_counts"]),
     "session_windows": Query(q_session_windows, ORACLES["session_windows"]),

@@ -355,7 +355,8 @@ EXT_ORACLES: dict[str, str] = {
 tools AS (SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool IS NOT NULL),
 j AS (
   SELECT a.conv_id, a.turn_idx AS agent_turn, t.turn_idx AS tool_turn, t.tool,
-         row_number() OVER (PARTITION BY a.conv_id, a.ts ORDER BY t.ts DESC) AS rn
+         row_number() OVER (PARTITION BY a.conv_id, a.turn_idx
+                            ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
   FROM agents a JOIN tools t
     ON a.conv_id = t.conv_id
    AND t.ts <= a.ts AND t.ts >= a.ts - INTERVAL '3600 seconds'

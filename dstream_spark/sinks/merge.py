@@ -118,13 +118,18 @@ class MergeSink:
 
     # -- readers ------------------------------------------------------
     def read_table(self, spark: SparkSession) -> DataFrame:
-        """Committed rows only, latest version per key."""
+        """Committed rows only, latest version per key. A marker whose
+        data dir is mid-swap (compact crashed between the aside rename
+        and the snapshot rename) resolves to its ``.old`` aside — a
+        marker therefore never points at nothing."""
         committed = self.committed_batches()
         if not committed:
             return spark.createDataFrame([], schema="conv_id string")
-        df = spark.read.option("basePath", self.data_dir).parquet(
-            *[os.path.join(self.data_dir, f"batch_id={b}") for b in sorted(committed)]
-        )
+        paths = []
+        for b in sorted(committed):
+            p = os.path.join(self.data_dir, f"batch_id={b}")
+            paths.append(p if os.path.exists(p) else p + ".old")
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
         if self.version_col and self.version_col in df.columns:
             return apply_changes(df, self.keys, self.version_col).drop("batch_id")
         w_cols = list(self.keys)
@@ -175,11 +180,19 @@ class MergeSink:
         # temporary overlap with old batches):
         base_data = os.path.join(self.data_dir, f"batch_id={base_id}")
         aside = base_data + ".old"
-        os.rename(base_data, aside)  # 1. move old base data aside
+        # 1. move old base data aside (read_table serves the aside while
+        #    the base dir is absent, so the mid-swap window is readable;
+        #    existence guards make a re-run after a crash in that window
+        #    idempotent)
+        if os.path.exists(base_data):
+            shutil.rmtree(aside, ignore_errors=True)  # stale aside from a crashed run
+            os.rename(base_data, aside)
         os.rename(tmp_data, base_data)  # 2. new full snapshot in place
         base_marker = os.path.join(self.lineage_dir, f"batch_id={base_id}")
         old_marker_aside = base_marker + ".old"
-        os.rename(base_marker, old_marker_aside)
+        if os.path.exists(base_marker):
+            shutil.rmtree(old_marker_aside, ignore_errors=True)
+            os.rename(base_marker, old_marker_aside)
         os.rename(tmp_lin, base_marker)  # 3. marker now describes the snapshot
         for b in committed:  # 4. retire superseded markers, THEN their data
             if b != base_id:

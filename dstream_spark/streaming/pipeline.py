@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,7 +92,39 @@ class Pipeline:
         self.name = conf.get("name", "pipeline")
         self.query: StreamingQuery | None = None
         ckpt = conf.get("checkpoint_dir")
-        self.lock = Lock(os.path.join(ckpt, "_dstream.lock")) if ckpt else None
+        ttl = float(conf.get("lock_ttl_s", LOCK_STALE_S))
+        self.lock = Lock(os.path.join(ckpt, "_dstream.lock"), ttl_s=ttl) if ckpt else None
+        self._hb_stop: threading.Event | None = None
+        self._hb_thread: threading.Thread | None = None
+        self.crash_monitor = None  # FailureCaptureListener when enabled
+
+    def _start_heartbeat(self, owner: str) -> None:
+        """Renew the lease while the query runs — the reference holds an
+        infinite blob lease and renews it; 'stale' means ABANDONED for
+        >TTL, not merely long-running (capability-inventory.md:185-192).
+        Without this, any query outliving the TTL had a breakable lock.
+        Interval = TTL/3 so a renewal always lands before expiry."""
+        self._hb_stop = threading.Event()
+        interval = max(0.05, self.lock.ttl_s / 3.0)
+
+        def beat() -> None:
+            while not self._hb_stop.wait(interval):
+                try:
+                    self.lock.heartbeat(owner)
+                except LockHeldError:  # lost the lease (clock skew/manual break)
+                    break
+
+        self._hb_thread = threading.Thread(
+            target=beat, name=f"{self.name}-lock-heartbeat", daemon=True
+        )
+        self._hb_thread.start()
+
+    def _stop_heartbeat(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+        if self._hb_thread is not None:
+            self._hb_thread.join(timeout=5.0)
+        self._hb_stop = self._hb_thread = None
 
     # -- verb: run -----------------------------------------------------
     def build(self) -> DataFrame:
@@ -105,6 +138,14 @@ class Pipeline:
         if self.lock:
             os.makedirs(os.path.dirname(self.lock.path), exist_ok=True)
             self.lock.acquire(owner)
+            self._start_heartbeat(owner)
+        # opt-in: the listener is session-global and fires per progress
+        # event, so benches keep it off the hot loop
+        if self.conf.get("surface_failures") and self.crash_monitor is None:
+            from dstream_spark.streaming.metrics import FailureCaptureListener
+
+            self.crash_monitor = FailureCaptureListener()
+            self.spark.streams.addListener(self.crash_monitor)
         df = self.build()
         sink_conf = dict(self.conf["sink"])
         writer = get_sink(sink_conf.pop("type"))(df, sink_conf)
@@ -113,9 +154,45 @@ class Pipeline:
         if self.conf.get("checkpoint_dir"):
             writer = writer.option("checkpointLocation", self.conf["checkpoint_dir"])
         self.query = writer.queryName(self.name).start()
+        if self.crash_monitor is not None:
+            self.crash_monitor.watch(str(self.query.id))
         if await_termination:
             self.query.awaitTermination()
         return self.query
+
+    def run_adaptive(
+        self,
+        controller,
+        segments: int = 2,
+        owner: str = "driver",
+    ) -> list[dict]:
+        """S4 dynamic batch sizing: run the stream in segments (each
+        drains what's available: availableNow), and between segments let
+        ``controller`` (streaming/adaptive.BatchSizeController) resize
+        max_files_per_trigger from the segment's observed progress —
+        the reference's hourly row-size resample
+        (docs/capability-inventory.md:136). Restarting from the same
+        checkpoint is exactly-once: offsets + idempotent sink.
+
+        Returns the per-segment sizing history."""
+        history: list[dict] = []
+        for seg in range(segments):
+            q = self.run(owner=owner)
+            q.awaitTermination()
+            progresses = list(q.recentProgress)
+            cur = int(self.conf["source"].get("max_files_per_trigger", 1))
+            nxt = controller.recommend(progresses, cur)
+            self.stop(owner=owner)
+            history.append(
+                {
+                    "segment": seg,
+                    "files_per_trigger": cur,
+                    "batches": len(progresses),
+                    "next_files_per_trigger": nxt,
+                }
+            )
+            self.conf["source"]["max_files_per_trigger"] = nxt
+        return history
 
     def stop(self, grace_s: float = 10.0, owner: str = "driver") -> None:
         """Graceful shutdown (K7): stop → bounded wait (the reference's
@@ -125,6 +202,10 @@ class Pipeline:
             deadline = time.time() + grace_s
             while self.query.isActive and time.time() < deadline:
                 time.sleep(0.05)
+        self._stop_heartbeat()
+        if self.crash_monitor is not None:
+            self.spark.streams.removeListener(self.crash_monitor)
+            self.crash_monitor = None
         if self.lock:
             self.lock.release(owner)
 
@@ -155,6 +236,8 @@ class Pipeline:
         out: dict = {"name": self.name, "active": bool(self.query and self.query.isActive)}
         if self.query is not None:
             out["last_progress"] = self.query.lastProgress
+        if self.crash_monitor is not None:
+            out["failures"] = list(self.crash_monitor.failures)
         sink = self.conf.get("sink", {}).get("sink")
         if sink is not None:
             out["sink"] = sink.status()

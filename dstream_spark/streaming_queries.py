@@ -19,14 +19,10 @@ import os
 import tempfile
 import uuid
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dstream_spark.fixtures.transcripts import (
-    CHANGEFEED_SCHEMA,
-    transcripts_from_events,
-)
+from dstream_spark.fixtures.transcripts import transcripts_from_events
 from dstream_spark.operators.cdc import cursor_dedup_stream
 from dstream_spark.sinks.merge import MergeSink
 from dstream_spark.sources.registry import changefeed
@@ -57,45 +53,60 @@ def _write_feed(
     (arrival order ≠ event order, the adversarial case).
     ``replay_batch0``: append a final file replaying batch 0's rows —
     the crash-replay overlap (docs/plugins/mssql-ingester.md:84-87).
-    """
-    pdf = transcripts_from_events(spark, sf_dir).toPandas()
-    os.makedirs(out_dir, exist_ok=True)
-    if split_by_turn:
-        max_turn = int(pdf["turn_idx"].max()) + 1
-        per = max(1, (max_turn + n_batches - 1) // n_batches)
-        masks = [
-            (pdf["turn_idx"] >= b * per) & (pdf["turn_idx"] < (b + 1) * per)
-            for b in range(n_batches)
-        ]
-    elif split_by_time:
-        ranks = pdf["ts"].rank(method="first")
-        per = (len(pdf) + n_batches - 1) // n_batches
-        masks = [
-            (ranks > b * per) & (ranks <= (b + 1) * per) for b in range(n_batches)
-        ]
-    else:
-        idx = np.arange(len(pdf))
-        masks = [(idx % n_batches) == b for b in range(n_batches)]
-    batches = [pdf[m] for m in masks]
-    if replay_batch0:
-        batches.append(batches[0])
-    t0 = 1_700_000_000
-    for b, part in enumerate(batches):
-        part = part.copy()
-        part["_change_type"] = "insert"
-        part["_commit_version"] = np.int64(b)
-        sdf = spark.createDataFrame(part, schema=CHANGEFEED_SCHEMA)
-        tmp = os.path.join(out_dir, f".tmp_{uuid.uuid4().hex[:8]}")
-        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(out_dir, f"batch_{b:05d}.parquet")
-        os.rename(os.path.join(tmp, src), dst)
-        import shutil
 
-        shutil.rmtree(tmp)
-        # strictly increasing mtimes: the file source processes files
-        # oldest-first, giving deterministic micro-batch order
-        os.utime(dst, (t0 + b * 10, t0 + b * 10))
+    All slicing is JVM-side (no toPandas: collecting the transcript
+    table to the driver caps the feed at driver memory — the
+    bench_pipeline.build_feed lesson). Only the scalar split bound is
+    fetched. Each slice lands as ONE parquet file (coalesce(1)) so a
+    max_files_per_trigger=1 stream replays it as one micro-batch, and
+    rows within split_by_turn slices stay in turn order.
+    """
+    t = transcripts_from_events(spark, sf_dir)
+    if split_by_turn:
+        max_turn = t.agg(F.max("turn_idx")).first()[0] + 1
+        per = max(1, (max_turn + n_batches - 1) // n_batches)
+        sliced = t.withColumn(
+            "_slice", F.least(F.lit(n_batches - 1), (F.col("turn_idx") / per).cast("int"))
+        )
+    elif split_by_time:
+        # event-time quantiles via ntile; ties on ts broken by the
+        # stable (conv_id, turn_idx) key so the split is deterministic
+        from pyspark.sql import Window
+
+        w = Window.orderBy("ts", "conv_id", "turn_idx")
+        sliced = t.withColumn("_slice", F.ntile(n_batches).over(w) - 1)
+    else:
+        sliced = t.withColumn(
+            "_slice", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_batches)).cast("int")
+        )
+    sliced = sliced.persist()
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        order = list(range(n_batches)) + ([0] if replay_batch0 else [])
+        t0 = 1_700_000_000
+        for b, s in enumerate(order):
+            part = (
+                sliced.filter(F.col("_slice") == s)
+                .drop("_slice")
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(b).cast("long"))
+            )
+            part = part.coalesce(1)
+            if split_by_turn:  # deterministic in-file order (single partition)
+                part = part.sortWithinPartitions("conv_id", "turn_idx")
+            tmp = os.path.join(out_dir, f".tmp_{uuid.uuid4().hex[:8]}")
+            part.write.mode("overwrite").parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(out_dir, f"batch_{b:05d}.parquet")
+            os.rename(os.path.join(tmp, src), dst)
+            import shutil
+
+            shutil.rmtree(tmp)
+            # strictly increasing mtimes: the file source processes files
+            # oldest-first, giving deterministic micro-batch order
+            os.utime(dst, (t0 + b * 10, t0 + b * 10))
+    finally:
+        sliced.unpersist()
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

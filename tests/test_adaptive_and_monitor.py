@@ -1,0 +1,127 @@
+"""S4 dynamic batch sizing (segmented resize from observed progress)
+and S2 multi-table monitor (independent per-table tracking + failure
+isolation)."""
+
+from __future__ import annotations
+
+import os
+
+from dstream_spark.fixtures.transcripts import (
+    generate_transcripts,
+    write_changefeed_batches,
+)
+from dstream_spark.sinks.merge import MergeSink
+from dstream_spark.streaming.adaptive import BatchSizeController
+from dstream_spark.streaming.monitor import Monitor
+from dstream_spark.streaming.pipeline import Pipeline
+
+
+def test_controller_math():
+    c = BatchSizeController(target_rows=1000, min_files=1, max_files=64)
+    # 2 files/trigger observed at 100 rows/batch → 50 rows/file → want 20
+    assert c.recommend([{"numInputRows": 100}, {"numInputRows": 100}], 2) == 20
+    # idle ticks ignored; no signal → unchanged
+    assert c.recommend([{"numInputRows": 0}], 4) == 4
+    assert c.recommend([], 4) == 4
+    # clamped at both ends
+    assert c.recommend([{"numInputRows": 1}], 1) == 64
+    assert BatchSizeController(target_rows=1, max_files=64).recommend(
+        [{"numInputRows": 5000}], 1
+    ) == 1
+
+
+def test_adaptive_resize_across_segments(spark, tmp_path):
+    """Segment 1 runs at 1 file/trigger, the controller scales the
+    setting up from observed rows/file; segment 2 consumes newly
+    arrived files at the new setting. Exactly-once holds across the
+    restart (sink == identity)."""
+    pdf = generate_transcripts(n_convs=4, turns_per_conv=10, seed=11)
+    feed = str(tmp_path / "feed")
+    write_changefeed_batches(spark, pdf.iloc[: len(pdf) // 2], feed, n_batches=4)
+    sink = MergeSink(str(tmp_path / "tbl"))
+    pipe = Pipeline(
+        spark,
+        {
+            "name": "adaptive",
+            "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    pipe.init()
+    ctrl = BatchSizeController(target_rows=40, min_files=1, max_files=8)
+
+    # segment 1: drain the first half at 1 file/trigger
+    h1 = pipe.run_adaptive(ctrl, segments=1)
+    assert h1[0]["files_per_trigger"] == 1 and h1[0]["batches"] >= 4
+    resized = pipe.conf["source"]["max_files_per_trigger"]
+    assert resized > 1  # ~20 rows/file, target 40 → 2+
+
+    # more files arrive; segment 2 consumes them at the new setting
+    pdf2 = pdf.iloc[len(pdf) // 2 :]
+    tmp2 = str(tmp_path / "feed2")
+    write_changefeed_batches(spark, pdf2, tmp2, n_batches=4)
+    for i, f in enumerate(sorted(os.listdir(tmp2))):
+        os.rename(os.path.join(tmp2, f), os.path.join(feed, f"late_{i:05d}.parquet"))
+    h2 = pipe.run_adaptive(ctrl, segments=1)
+    assert h2[0]["files_per_trigger"] == resized
+    assert h2[0]["batches"] < 4  # fewer, bigger micro-batches
+
+    assert sink.read_table(spark).count() == len(
+        pdf.drop_duplicates(["conv_id", "turn_idx"])
+    )
+
+
+def test_monitor_isolates_table_failure(spark, tmp_path):
+    """S2/D6: two monitored tables; one feed is poisoned. The healthy
+    table completes with correct contents; the poisoned one surfaces
+    its failure in status(); locks/checkpoints are per-table."""
+    good_pdf = generate_transcripts(n_convs=3, turns_per_conv=6, seed=21)
+    good_feed = str(tmp_path / "good_feed")
+    write_changefeed_batches(spark, good_pdf, good_feed, n_batches=2)
+    bad_feed = str(tmp_path / "bad_feed")
+    write_changefeed_batches(
+        spark, generate_transcripts(n_convs=2, turns_per_conv=4, seed=22), bad_feed, n_batches=1
+    )
+    with open(os.path.join(bad_feed, "batch_00001.parquet"), "wb") as f:
+        f.write(b"corrupt" * 64)
+
+    good_sink = MergeSink(str(tmp_path / "good_tbl"))
+    bad_sink = MergeSink(str(tmp_path / "bad_tbl"))
+    mon = Monitor(
+        spark,
+        [
+            {
+                "name": "good_table",
+                "source": {"type": "changefeed", "path": good_feed},
+                "sink": {"type": "merge", "sink": good_sink},
+                "checkpoint_dir": str(tmp_path / "ckpt_good"),
+                "trigger": {"availableNow": True},
+                "surface_failures": True,
+            },
+            {
+                "name": "bad_table",
+                "source": {"type": "changefeed", "path": bad_feed, "max_files_per_trigger": 1},
+                "sink": {"type": "merge", "sink": bad_sink},
+                "checkpoint_dir": str(tmp_path / "ckpt_bad"),
+                "trigger": {"availableNow": True},
+                "surface_failures": True,
+            },
+        ],
+    )
+    mon.init_all()
+    started = mon.run_all()
+    assert len(started) == 2
+    mon.await_all()
+
+    # healthy table unaffected by the neighbor's death
+    assert good_sink.read_table(spark).count() == len(
+        good_pdf.drop_duplicates(["conv_id", "turn_idx"])
+    )
+    bad = mon.pipelines["bad_table"]
+    assert bad.crash_monitor.wait_for_failure(timeout_s=15) is not None
+    st = mon.status()
+    assert st["bad_table"]["failures"]
+    assert not st["good_table"].get("failures")
+    mon.stop_all()

@@ -34,6 +34,20 @@ def test_no_row_at_a_time_python_udfs():
     assert not offenders, offenders
 
 
+def test_no_driver_side_collection_in_engine():
+    """Ban .toPandas()/.collect() in engine code: any operator that
+    funnels a table through the driver caps the pipeline at driver
+    memory (the 100-TB disqualifier). Scalar bounds via .first()/.agg
+    are fine; full-table collection is not."""
+    bad = re.compile(r"\.(toPandas|collect)\(")
+    offenders = []
+    for path in glob.glob(f"{REPO}/dstream_spark/**/*.py", recursive=True):
+        for i, line in enumerate(open(path), 1):
+            if bad.search(line.split("#")[0]):
+                offenders.append(f"{path}:{i}")
+    assert not offenders, offenders
+
+
 def test_token_count_and_quality(spark):
     df = spark.createDataFrame([("the a b c",), ("x",)], ["text"])
     rows = df.select(token_count().alias("n"), quality_score().alias("q")).collect()

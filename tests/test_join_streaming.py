@@ -75,3 +75,31 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(stream, batch, check_dtype=False)
+
+
+def test_asof_join_keeps_same_ts_left_rows(spark):
+    """Two left rows sharing (conv_id, ts) must EACH get their own
+    as-of match (regression: the pick window used to partition on
+    (key, ts) and collapsed them to one arbitrary survivor). Tied
+    right timestamps break deterministically on turn_idx desc."""
+    import datetime as dt
+
+    from dstream_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("c0", 10, t0), ("c0", 11, t0), ("c0", 12, t0 + dt.timedelta(minutes=5))],
+        "conv_id string, turn_idx int, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c0", 1, "tool_a", t0 - dt.timedelta(minutes=1)),
+            ("c0", 2, "tool_b", t0 - dt.timedelta(minutes=1)),  # ts tie → higher turn_idx wins
+            ("c0", 3, "tool_c", t0 + dt.timedelta(minutes=4)),
+        ],
+        "conv_id string, turn_idx int, tool string, ts timestamp_ntz",
+    )
+    out = {r.turn_idx: r for r in asof_join(left, right).collect()}
+    assert set(out) == {10, 11, 12}  # every left row survives
+    assert out[10].tool_r == "tool_b" and out[11].tool_r == "tool_b"
+    assert out[12].tool_r == "tool_c"

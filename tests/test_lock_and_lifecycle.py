@@ -98,3 +98,35 @@ def test_second_writer_rejected_while_running(spark, tmp_path):
             p2.run(owner="proc-2")
     finally:
         p1.stop(owner="proc-1")
+
+
+def test_heartbeat_keeps_lock_past_ttl(spark, tmp_path):
+    """D5 lease renewal: a query that RUNS LONGER than the stale TTL
+    must still reject a second writer — the heartbeat thread renews
+    the lease, so 'stale' means abandoned, not long-running."""
+    sink = MergeSink(str(tmp_path / "tbl"), keys=("timestamp", "value"),
+                     partition_key="value", order_cols=("value",))
+    conf = {
+        "name": "hb_writer",
+        "source": {"type": "rate", "rows_per_second": 1},
+        "sink": {"type": "merge", "sink": sink},
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "trigger": {"processingTime": "200 milliseconds"},
+        "lock_ttl_s": 1.0,  # heartbeat every ~0.33s
+    }
+    p1 = Pipeline(spark, conf)
+    p1.init()
+    p1.run(owner="proc-1")
+    try:
+        time.sleep(2.5)  # well past the 1s TTL
+        p2 = Pipeline(spark, conf)
+        with pytest.raises(LockHeldError):
+            p2.run(owner="proc-2")  # still held: lease was renewed
+    finally:
+        p1.stop(owner="proc-1")
+    # after release + TTL, a new writer may proceed
+    time.sleep(1.1)
+    p3 = Pipeline(spark, conf)
+    q3 = p3.run(owner="proc-3")
+    assert q3.isActive
+    p3.stop(owner="proc-3")

@@ -44,6 +44,31 @@ def test_compaction_preserves_table_and_bounds_batches(spark, tmp_path):
     assert sink.read_table(spark).count() == len(before) + 3
 
 
+def test_compaction_crash_window_still_readable(spark, tmp_path):
+    """Crash-safety of compact(): in the window where the old base data
+    dir has been renamed aside but the new snapshot isn't in place yet,
+    a reader must still see every committed row (the marker resolves to
+    the .old aside), and re-running compact() must recover."""
+    pdf = generate_transcripts(n_convs=3, turns_per_conv=5)
+    sink = MergeSink(str(tmp_path / "tbl"), n_partitions=2)
+    sdf = spark.createDataFrame(pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]])
+    for b in range(3):
+        sink.process_batch(sdf.filter((sdf.turn_idx % 3) == b), b)
+    total = sink.read_table(spark).count()
+    base = max(sink.committed_batches())
+
+    # simulate the crash: step 1 of the swap happened, nothing else
+    base_data = os.path.join(sink.data_dir, f"batch_id={base}")
+    os.rename(base_data, base_data + ".old")
+    assert sink.read_table(spark).count() == total  # reader unaffected
+
+    # recovery: compact() re-runs to completion on the same sink
+    sink.compact(spark)
+    assert sink.committed_batches() == {base}
+    assert sink.read_table(spark).count() == total
+    assert not os.path.exists(base_data + ".old")
+
+
 def test_bad_source_type_fails_fast(spark, tmp_path):
     """Handshake error analog: unknown provider → immediate error, not
     a 30s hang (waitForReady error path)."""
