@@ -148,14 +148,13 @@ def simhash_near_dups(
     base, extra = divmod(bits, n_seg)
     sizes = [base + (1 if i < extra else 0) for i in range(n_seg)]
     offsets = [sum(sizes[:i]) for i in range(n_seg)]
+
+    def seg_val(col: Column, i: int) -> Column:
+        return F.shiftright(col, offsets[i]).bitwiseAND(F.lit((1 << sizes[i]) - 1))
+
     segs = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("seg"),
-                F.shiftright(F.col(hash_col), offsets[i])
-                .bitwiseAND(F.lit((1 << sizes[i]) - 1))
-                .alias("val"),
-            )
+            F.struct(F.lit(i).alias("seg"), seg_val(F.col(hash_col), i).alias("val"))
             for i in range(n_seg)
         ]
     )
@@ -164,6 +163,14 @@ def simhash_near_dups(
         .select(id_col, hash_col, F.col("s.seg").alias("seg"), F.col("s.val").alias("val"))
     )
     l, r = ex.alias("l"), ex.alias("r")
+    lh, rh = F.col(f"l.{hash_col}"), F.col(f"r.{hash_col}")
+    # a pair colliding in several segments would be emitted once per
+    # collision; keep only the FIRST matching segment's copy — a pure
+    # bit-compare on the two hashes, so the dedup costs no shuffle
+    # (vs a distinct() over the full candidate set)
+    first_eq = F.lit(-1)
+    for i in reversed(range(n_seg)):
+        first_eq = F.when(seg_val(lh, i) == seg_val(rh, i), F.lit(i)).otherwise(first_eq)
     return (
         l.join(
             r,
@@ -171,13 +178,13 @@ def simhash_near_dups(
             & (F.col("l.val") == F.col("r.val"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .filter(F.col("l.seg") == first_eq)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            hamming_distance(F.col(f"l.{hash_col}"), F.col(f"r.{hash_col}")).alias("hamming"),
+            hamming_distance(lh, rh).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)  # verify BEFORE the dedup shuffle
-        .distinct()  # a pair can collide in several segments
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -27,6 +27,7 @@ from dstream_spark.operators import cdc, dedup, joins, skew, windows
 from dstream_spark.queries_base import (  # noqa: F401  (re-exported)
     ALL_TABLES,
     Query,
+    _materialize,
     _t_sql,
     _transcripts,
 )
@@ -346,8 +347,10 @@ def q_docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: documents sharing ≥1 band bucket."""
-    b = q_docs_minhash_bands(spark, sf_dir)
+    """LSH candidate pairs: documents sharing ≥1 band bucket. The band
+    table is materialized first — deriving signatures is the expensive
+    pass, and a self-join would run it once per branch."""
+    b = _materialize(q_docs_minhash_bands(spark, sf_dir), "mh_bands")
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(
@@ -373,8 +376,10 @@ def q_docs_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole segment banding (9 segments; hamming ≤ 8 ⇒ ≥1 segment
     identical) — an equi-join on (segment, value), never an all-pairs
     cross join. Output is identical to brute force; the oracle computes
-    it brute-force in DuckDB as the ground truth."""
-    s = q_docs_simhash(spark, sf_dir)
+    it brute-force in DuckDB as the ground truth. The signature table
+    is materialized first (Catalyst re-derives a self-joined subtree
+    per branch — 2x the 32 bit-fold aggregates otherwise)."""
+    s = _materialize(q_docs_simhash(spark, sf_dir), "simhash")
     return dedup_text.simhash_near_dups(s, bits=32, max_hamming=8)
 
 

@@ -43,3 +43,20 @@ def _t_sql(body: str) -> str:
 # streaming exactly-once / dedup queries (their contract is "each turn
 # exactly once")
 IDENTITY_SQL = _t_sql("SELECT * FROM transcripts")
+
+
+def _materialize(df: DataFrame, tag: str) -> DataFrame:
+    """Land a derived table in scratch parquet and read it back.
+
+    Catalyst does NOT reuse a common subtree across the two branches of
+    a self-join (measured: the simhash signature derivation ran once
+    per branch — 6 parquet scans for one query). Fingerprint/signature
+    tables are where that bites: they're expensive to derive and tiny
+    to store. At 100 TB they are standalone pipeline artifacts anyway
+    (derive once, self-join many times); this helper is the small-scale
+    form of exactly that."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"dstream_mat_{tag}_")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
