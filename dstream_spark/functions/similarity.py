@@ -68,6 +68,36 @@ def cosine_topk(
     )
 
 
+def rp_lsh_assign(
+    vectors: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_id_col: str = "h_id",
+    plane_vec_col: str = "h_vec",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket per vector — Charikar's
+    simhash for cosine: bit i = 1 iff dot(v, h_i) > 0, bucket =
+    Σ bit_i·2^i. Two vectors at angle θ land in one bucket with
+    probability (1 − θ/π)^n_planes, so near-duplicates concentrate in
+    shared buckets and candidate generation becomes a bucket equi-join
+    (the LSH alternative to the IVF path; same shuffle shape). Planes
+    are broadcast; the only shuffle is the per-vector bit fold.
+
+    Callers supply the plane table (here: rows of the corpus itself as
+    a deterministic stand-in — on a real pipeline, seeded Gaussian
+    vectors). Output: (id_col, lsh_bucket)."""
+    b = vectors.select(id_col, vec_col).join(
+        F.broadcast(planes.select(plane_id_col, plane_vec_col))
+    )
+    term = (
+        F.when(dot(F.col(vec_col), F.col(plane_vec_col)) > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        * F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({plane_id_col} AS INT))")
+    )
+    return b.groupBy(id_col).agg(F.sum(term).cast("long").alias("lsh_bucket"))
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

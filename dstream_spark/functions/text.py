@@ -92,6 +92,21 @@ def predicted_lang(text_col: str = "text") -> Column:
     return F.greatest(*pairs).getField("l")
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs —
+# the split a byte-pair tokenizer applies before merges. Portable
+# regex subset (identical under Java regex and RE2/DuckDB).
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def bpe_tokens(text_col: str = "text") -> Column:
+    """Sub-word pre-tokens as array<string> (group 0 = whole match)."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0))
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    return F.size(bpe_tokens(text_col)).cast("int")
+
+
 def fingerprint(text_col: str = "text", prefix_tokens: int = 8) -> Column:
     """Document fingerprint: md5 over the first-k-token prefix — a
     cheap normalization-collision fingerprint (near-dup blocking key).

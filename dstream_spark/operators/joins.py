@@ -57,6 +57,38 @@ def interval_join(
     return restore_ntz(out, (ts_col, f"{ts_col}_r")) if streaming else out
 
 
+def interval_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    lower_s: int = 600,
+    upper_s: int = 600,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-bounded batch interval join, identical output to
+    ``interval_join``. A hot key (one conversation with millions of
+    turns) makes the per-key pair count quadratic AND lands the whole
+    key on one task; AQE skew-split only re-chunks the left side. This
+    variant salts the LEFT rows into ``buckets`` sub-keys and
+    replicates the RIGHT side once per bucket, so a hot key's work is
+    spread across ``buckets`` tasks — at the cost of a buckets× right
+    shuffle. Use when right ≪ left (here: tool turns ≪ agent turns);
+    pick buckets ≈ the observed skew factor."""
+    salt = F.pmod(F.xxhash64(F.col(ts_col).cast("string")), F.lit(buckets)).cast("int")
+    l = left.withColumn("_salt", salt)
+    r = right.select(
+        [F.col(c).alias(f"{c}_r") for c in right.columns]
+    ).withColumn("_salt_r", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col("_salt") == F.col("_salt_r"))
+        & (F.col(f"{ts_col}_r") >= F.col(ts_col) - F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (F.col(f"{ts_col}_r") <= F.col(ts_col) + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return l.join(r, cond).drop("_salt", "_salt_r")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -348,6 +348,99 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word pre-tokenization (letter/digit/punct runs —
+    the split a byte-pair tokenizer applies before merges) next to the
+    whitespace count: the brief's 'token counting (whitespace + a
+    BPE-ish regex)'. Pure regexp projection, codegen'd, text-only
+    column pruning."""
+    from dstream_spark.functions.text import bpe_token_count, token_count
+
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        token_count().alias("n_ws_tokens"),
+        bpe_token_count().alias("n_bpe_tokens"),
+        F.round(
+            bpe_token_count().cast("double") / token_count().cast("double"), 6
+        ).alias("bpe_per_ws"),
+    )
+
+
+def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (Charikar sign-LSH):
+    the LSH-bucketed ANN alternative to the IVF path. Planes = the
+    first 6 corpus vectors (deterministic stand-in for seeded Gaussian
+    planes; 64 buckets)."""
+    from dstream_spark.functions.similarity import rp_lsh_assign
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    planes = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("h_id"), F.col("embedding").alias("h_vec")
+    )
+    return rp_lsh_assign(e, planes)
+
+
+def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup candidates: same-bucket pairs verified by
+    exact cosine ≥ 0.4. The bucket equi-join is the scale path (shuffle
+    on lsh_bucket only); emb_near_dup_pairs is its brute-force recall
+    verifier."""
+    from dstream_spark.functions.similarity import cosine
+    from dstream_spark.queries_base import _materialize
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    b = _materialize(
+        q_emb_lsh_buckets(spark, sf_dir).join(e.select("vec_id", "embedding"), "vec_id"),
+        "lsh_buckets",
+    )
+    l = b.select(
+        F.col("vec_id").alias("ia"), F.col("lsh_bucket").alias("bk"), F.col("embedding").alias("va")
+    )
+    r = b.select(
+        F.col("vec_id").alias("ib"), F.col("lsh_bucket").alias("bk_r"), F.col("embedding").alias("vb")
+    )
+    return (
+        l.join(r, (F.col("bk") == F.col("bk_r")) & (F.col("ia") < F.col("ib")))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("ia", "ib", "cos")
+    )
+
+
+def q_tool_correlation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-bounded variant of tool_correlation: identical output, but
+    a hot conversation's quadratic pair work is split across 8 salt
+    buckets (the right side replicates 8×; right ≪ left here). Same
+    oracle as the unsalted join."""
+    from dstream_spark.operators.joins import interval_join_salted
+
+    t = _transcripts(spark, sf_dir)
+    agents = t.filter(F.col("role") == "agent")
+    tools = t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool", "ts")
+    j = interval_join_salted(agents, tools, lower_s=600, upper_s=600, buckets=8)
+    return j.select(
+        F.col("conv_id"),
+        F.col("turn_idx").alias("agent_turn"),
+        F.col("turn_idx_r").alias("tool_turn"),
+        F.col("tool_r").alias("tool"),
+    )
+
+
+_LSH_BUCKETS_CTE = """planes AS (
+  SELECT vec_id AS h_id, embedding AS h_vec FROM embeddings WHERE vec_id < 6
+), terms AS (
+  SELECT e.vec_id,
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.h_vec AS DOUBLE[])) > 0
+              THEN (CAST(1 AS BIGINT) << CAST(p.h_id AS INT)) ELSE CAST(0 AS BIGINT) END AS term
+  FROM embeddings e CROSS JOIN planes p
+), buckets AS (
+  SELECT vec_id, CAST(SUM(term) AS BIGINT) AS lsh_bucket FROM terms GROUP BY 1
+)"""
+
 EXT_ORACLES: dict[str, str] = {
     "asof_join_tool": _t_sql(
         """
@@ -465,6 +558,27 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20""",
+    "docs_bpe_tokens": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)) AS INT) AS n_bpe_tokens,
+       round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS bpe_per_ws
+FROM documents""",
+    "emb_lsh_buckets": f"""
+WITH {_LSH_BUCKETS_CTE}
+SELECT vec_id, lsh_bucket FROM buckets""",
+    "emb_lsh_pairs": f"""
+WITH {_LSH_BUCKETS_CTE}, v AS (
+  SELECT b.vec_id, b.lsh_bucket, e.embedding FROM buckets b JOIN embeddings e USING (vec_id)
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+  FROM v a JOIN v b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+)
+SELECT ia, ib, cos FROM pairs WHERE cos >= 0.4""",
     "emb_near_dup_pairs": """
 WITH p AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -533,6 +647,23 @@ EXT_QUERIES: dict[str, Query] = {
     "tpch_q10": Query(q_tpch_q10, EXT_ORACLES["tpch_q10"]),
     "emb_near_dup_pairs": Query(q_emb_near_dup_pairs, EXT_ORACLES["emb_near_dup_pairs"]),
     "emb_ivf_topk": Query(q_emb_ivf_topk, EXT_ORACLES["emb_ivf_topk"]),
+    "docs_bpe_tokens": Query(q_docs_bpe_tokens, EXT_ORACLES["docs_bpe_tokens"]),
+    "emb_lsh_buckets": Query(q_emb_lsh_buckets, EXT_ORACLES["emb_lsh_buckets"]),
+    "emb_lsh_pairs": Query(q_emb_lsh_pairs, EXT_ORACLES["emb_lsh_pairs"]),
+    "tool_correlation_salted": Query(
+        q_tool_correlation_salted,
+        _t_sql(
+            """
+SELECT a.conv_id AS conv_id, a.turn_idx AS agent_turn,
+       t.turn_idx AS tool_turn, t.tool AS tool
+FROM transcripts a
+JOIN transcripts t
+  ON a.conv_id = t.conv_id AND a.role = 'agent' AND t.tool IS NOT NULL
+ AND t.ts >= a.ts - INTERVAL '600 seconds'
+ AND t.ts <= a.ts + INTERVAL '600 seconds'"""
+        ),
+        "salted interval join == plain interval join output",
+    ),
     "stream_dedup_watermark": Query(
         q_stream_dedup_watermark,
         IDENTITY_SQL,
