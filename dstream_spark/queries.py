@@ -759,6 +759,18 @@ def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_session_windows(spark, sf_dir)
 
 
+def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_sliding_counts
+
+    return stream_sliding_counts(spark, sf_dir)
+
+
+def _stream_window_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_window_sink
+
+    return stream_window_sink(spark, sf_dir)
+
+
 # closed sessions only: window end (last event + gap) <= final
 # watermark (max ts - delay); gap = delay = 30 min (predicate verified
 # at the boundary — see stream_session_windows docstring)
@@ -831,6 +843,15 @@ QUERIES: dict[str, Query] = {
         _stream_sessions,
         ORACLES["stream_session_windows"],
         "streaming session_window (append) == gaps-and-islands + closure predicate",
+    ),
+    "stream_sliding_counts": Query(
+        _stream_sliding, ORACLES["sliding_counts"],
+        "REAL streaming sliding windows (complete mode) vs the batch oracle",
+    ),
+    "stream_window_sink": Query(
+        _stream_window_sink, ORACLES["tumbling_counts"],
+        "north-star windowed pipeline: update-mode agg -> keyed exactly-once "
+        "MERGE -> read back == batch tumbling oracle",
     ),
     "emb_norms": Query(q_emb_norms, ORACLES["emb_norms"]),
     "emb_cosine_topk": Query(q_emb_cosine_topk, ORACLES["emb_cosine_topk"]),

@@ -211,3 +211,72 @@ def stream_cursor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute windows per role computed BY THE
+    STREAMING ENGINE (complete mode), equal to the batch sliding
+    oracle."""
+    from dstream_spark.operators.windows import sliding
+
+    feed = _scratch("slide")
+    _write_feed(spark, sf_dir, feed, n_batches=4)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    agg = sliding(
+        src, "1 hour", "30 minutes", keys=("role",),
+        aggs=[F.count(F.lit(1)).alias("n_turns")],
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_window_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star WINDOWED pipeline end-to-end under the oracle:
+    change feed → watermarked tumbling agg (update mode) → keyed
+    exactly-once MergeSink (latest epoch version per (w_start,
+    conv_id)) → read back. Update mode re-emits a window's running
+    total each batch; the version-keyed MERGE keeps the latest, so the
+    final table equals the batch tumbling aggregate — the
+    ingester→publisher contract for aggregated state, not just rows."""
+    from dstream_spark.operators.windows import tumbling
+
+    feed = _scratch("wsink_feed")
+    table = _scratch("wsink_table")
+    ckpt = _scratch("wsink_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    agg = tumbling(
+        src,
+        "1 hour",
+        keys=("conv_id",),
+        aggs=[
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "agent", 1).otherwise(0)).cast("bigint").alias("n_agent"),
+        ],
+        watermark="30 minutes",
+    )
+    sink = MergeSink(
+        table,
+        keys=("w_start", "conv_id"),
+        partition_key="conv_id",
+        order_cols=("conv_id", "w_start"),
+        version_col="_v",
+        n_partitions=8,
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.process_batch)
+        .option("checkpointLocation", os.path.join(ckpt, "q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read_table(spark).select("w_start", "w_end", "conv_id", "n_turns", "n_agent")
