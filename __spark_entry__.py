@@ -2,14 +2,13 @@
 
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
-                 training-data-pipeline ops (50 entries; 49 with
-                 DuckDB oracles, incl. six REAL Structured Streaming
-                 runs — tumbling agg, exactly-once sink under replay,
-                 stateful cursor, session windows, stream-stream join,
-                 watermark dedup — checked against batch SQL)
-oracle_sql()   — matching DuckDB SQL per query (omitted only for
-                 docs_minhash_pairs, derived non-SQL-trivially from
-                 the oracle-checked bands artifact)
+                 training-data-pipeline ops, ALL with DuckDB oracles,
+                 incl. eight REAL Structured Streaming runs (tumbling/
+                 sliding agg, exactly-once sink under replay, stateful
+                 cursor, session windows, stream-stream join,
+                 watermark dedup, update-mode windowed agg → keyed
+                 exactly-once MERGE) checked against batch SQL
+oracle_sql()   — matching DuckDB SQL per query
 """
 
 from __future__ import annotations

@@ -269,6 +269,35 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted (fixture p_type is a plain category): promo
+    revenue share over 1996. The percentage is computed with integer
+    division to ppm over exact cent sums — a BIGINT ratio is the only
+    cross-engine-safe way to emit a derived float (round() on computed
+    doubles diverges between engines)."""
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    p = spark.table("part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cents = F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5).cast(
+        "long"
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("promo_cents"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+    return agg.select(
+        (F.col("promo_cents") / 100.0).alias("promo_revenue"),
+        (F.col("total_cents") / 100.0).alias("total_revenue"),
+        (F.expr("(100000000 * promo_cents) DIV total_cents") / 1000000.0).alias("promo_pct"),
+    )
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: all pairs above a
     similarity threshold (brute-force exact — the verifier for any
@@ -558,6 +587,20 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20""",
+    "tpch_q14": """
+WITH j AS (
+  SELECT CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS cents, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+), s AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM j
+)
+SELECT promo_cents / 100.0 AS promo_revenue,
+       total_cents / 100.0 AS total_revenue,
+       ((100000000 * promo_cents) // total_cents) / 1000000.0 AS promo_pct
+FROM s""",
     "docs_bpe_tokens": """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
@@ -645,6 +688,7 @@ EXT_QUERIES: dict[str, Query] = {
     ),
     "tpch_q4": Query(q_tpch_q4, EXT_ORACLES["tpch_q4"]),
     "tpch_q10": Query(q_tpch_q10, EXT_ORACLES["tpch_q10"]),
+    "tpch_q14": Query(q_tpch_q14, EXT_ORACLES["tpch_q14"]),
     "emb_near_dup_pairs": Query(q_emb_near_dup_pairs, EXT_ORACLES["emb_near_dup_pairs"]),
     "emb_ivf_topk": Query(q_emb_ivf_topk, EXT_ORACLES["emb_ivf_topk"]),
     "docs_bpe_tokens": Query(q_docs_bpe_tokens, EXT_ORACLES["docs_bpe_tokens"]),
