@@ -194,16 +194,35 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs via shingle-inverted
     index: explode shingles → self-join on shingle → count shared /
     union. The join key is the shingle, so only documents sharing at
     least one shingle ever meet — the sparse-similarity-join pattern.
+
+    ``max_df``: drop shingles appearing in more than max_df documents
+    BEFORE the self-join (jaccard is then over the capped shingle
+    universe, on both the shared and union counts). This is the scale
+    guard: a stop-shingle in f documents alone generates O(f²) pairs —
+    one hot boilerplate line can dwarf the rest of the corpus. Capped
+    document frequency bounds per-shingle join fan-out at max_df².
     """
     sh = df.select(
         F.col(id_col), word_shingles(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = sh.select(id_col, "n_sh", F.explode("sh").alias("g"))
+    if max_df is not None:
+        # shingles are distinct per document, so count(*) per g = df
+        kept = (
+            ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("g")
+        )
+        fex = ex.join(kept, "g").select(id_col, "g")
+        n = fex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        ex = fex.join(n, id_col).select(id_col, "n_sh", "g")
     left = ex.alias("l")
     right = ex.alias("r")
     pairs = (

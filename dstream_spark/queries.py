@@ -333,6 +333,17 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.jaccard_pairs(d, k=3, threshold=0.12)
 
 
+def q_docs_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-guarded Jaccard: shingles in more than max_df=5
+    documents are dropped before the inverted-index self-join (a hot
+    boilerplate shingle in f docs alone generates O(f²) candidate
+    pairs). Jaccard is over the capped shingle universe on both sides
+    of the ratio."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return dedup_text.jaccard_pairs(d, k=3, threshold=0.10, max_df=5)
+
+
 def q_docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
@@ -675,6 +686,28 @@ WITH sh AS (
 )
 SELECT id_a, id_b, round(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) AS jaccard
 FROM pairs WHERE round(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= 0.12""",
+    "docs_ngram_jaccard_capped": f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh
+), kept AS (
+  SELECT g FROM (SELECT g, count(*) AS c FROM ex GROUP BY 1) WHERE c <= 5
+), fex AS (
+  SELECT e.doc_id, e.g FROM ex e JOIN kept USING (g)
+), n AS (
+  SELECT doc_id, count(*) AS n_sh FROM fex GROUP BY 1
+), pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+  FROM fex l JOIN fex r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+FROM pairs
+JOIN n na ON na.doc_id = id_a
+JOIN n nb ON nb.doc_id = id_b
+WHERE round(CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared), 6) >= 0.10""",
     "docs_minhash_bands": f"WITH {_SIG_CTE}\n{_BANDS_BODY}",
     "docs_minhash_pairs": f"""
 WITH {_SIG_CTE}, bands AS (
@@ -821,6 +854,9 @@ QUERIES: dict[str, Query] = {
     "docs_langid": Query(q_docs_langid, ORACLES["docs_langid"]),
     "docs_fingerprint": Query(q_docs_fingerprint, ORACLES["docs_fingerprint"]),
     "docs_ngram_jaccard": Query(q_docs_ngram_jaccard, ORACLES["docs_ngram_jaccard"]),
+    "docs_ngram_jaccard_capped": Query(
+        q_docs_ngram_jaccard_capped, ORACLES["docs_ngram_jaccard_capped"]
+    ),
     "docs_minhash_bands": Query(q_docs_minhash_bands, ORACLES["docs_minhash_bands"]),
     "docs_minhash_pairs": Query(
         q_docs_minhash_pairs, ORACLES["docs_minhash_pairs"], "LSH pairs derived from bands"

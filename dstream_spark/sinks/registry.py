@@ -33,7 +33,22 @@ def _merge(df: DataFrame, conf: dict) -> DataStreamWriter:
         version_col=conf.get("version_col"),
         n_partitions=int(conf.get("n_partitions", 8)),
     )
-    return df.writeStream.foreachBatch(sink.process_batch).outputMode(
+    every = int(conf.get("compact_every", 0))
+    if every > 0:
+        # K1 maintenance inside the stream: fold committed batches into
+        # one base every N epochs, so read_table's file listing stays
+        # bounded on a long-running query. Runs inside foreachBatch —
+        # i.e. under the pipeline's single-writer lock, after the
+        # epoch's own commit marker is in place.
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            sink.process_batch(batch_df, batch_id)
+            if int(batch_id) > 0 and int(batch_id) % every == 0:
+                sink.compact(batch_df.sparkSession)
+
+        body = process
+    else:
+        body = sink.process_batch
+    return df.writeStream.foreachBatch(body).outputMode(
         conf.get("output_mode", "append")
     )
 

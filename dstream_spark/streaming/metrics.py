@@ -25,16 +25,28 @@ class JsonFileMetricsListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        self._write(
-            {
-                "event": "progress",
-                "name": p.name,
-                "batchId": p.batchId,
-                "numInputRows": p.numInputRows,
-                "inputRowsPerSecond": p.inputRowsPerSecond,
-                "processedRowsPerSecond": p.processedRowsPerSecond,
-            }
-        )
+        rec = {
+            "event": "progress",
+            "name": p.name,
+            "batchId": p.batchId,
+            "numInputRows": p.numInputRows,
+            "inputRowsPerSecond": p.inputRowsPerSecond,
+            "processedRowsPerSecond": p.processedRowsPerSecond,
+        }
+        # state-store health per stateful operator (rows held + memory)
+        # — the MemStats half of the reference's monitor loop
+        try:
+            rec["state"] = [
+                {
+                    "operator": getattr(so, "operatorName", None),
+                    "numRowsTotal": so.numRowsTotal,
+                    "memoryUsedBytes": so.memoryUsedBytes,
+                }
+                for so in (p.stateOperators or [])
+            ]
+        except Exception:  # progress shape varies by query type
+            pass
+        self._write(rec)
 
     def onQueryTerminated(self, event) -> None:
         self._write(

@@ -164,3 +164,32 @@ def test_multimodal_feature_extraction(spark):
     # deterministic: same payload → same feature
     again = extract_features(df, dim=8).orderBy("media_id").collect()
     assert [r.sha1 for r in out] == [r.sha1 for r in again]
+
+
+def test_jaccard_max_df_cap(spark):
+    """max_df drops hot shingles from BOTH the index and the union
+    count: docs related only through a stop-shingle produce no pair,
+    while genuinely similar docs keep a high (capped-universe) score."""
+    rows = [
+        (0, "common header line alpha beta gamma"),
+        (1, "common header line alpha beta delta"),
+        (2, "common header line totally different words"),
+        (3, "common header line other unrelated stuff"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 'common header line' (and its two neighbors) appear in all 4 docs;
+    # cap at 3 removes them from the universe entirely
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.01, max_df=3).collect()
+    }
+    # docs 0/1 keep 3 shingles each ('common header line' df=4 is
+    # dropped) and share 2 of them -> 2 / (3 + 3 - 2) = 0.5
+    assert (0, 1) in capped and abs(capped[(0, 1)] - 0.5) < 1e-9
+    # pairs linked ONLY by the boilerplate disappear
+    assert (2, 3) not in capped
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(df, threshold=0.01).collect()
+    }
+    assert (2, 3) in uncapped  # sanity: the cap is what removed it

@@ -119,3 +119,31 @@ def test_await_termination_timeout(spark, tmp_path):
     q = pipe.run()
     assert q.awaitTermination(timeout=2) is False  # still running at deadline
     pipe.stop()
+
+
+def test_inline_compaction_during_stream(spark, tmp_path):
+    """K1 maintenance loop: compact_every=2 folds committed batches
+    into one base as the stream runs; contents stay identical and the
+    final table is a bounded file set."""
+    from dstream_spark.fixtures.transcripts import write_changefeed_batches
+
+    pdf = generate_transcripts(n_convs=3, turns_per_conv=8, seed=6)
+    feed = str(tmp_path / "feed")
+    write_changefeed_batches(spark, pdf, feed, n_batches=5)
+    sink = MergeSink(str(tmp_path / "tbl"), n_partitions=2)
+    pipe = Pipeline(
+        spark,
+        {
+            "name": "inline_compact",
+            "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+            "sink": {"type": "merge", "sink": sink, "compact_every": 2},
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    pipe.init()
+    q = pipe.run()
+    q.awaitTermination()
+    pipe.stop()
+    assert sink.read_table(spark).count() == len(pdf.drop_duplicates(["conv_id", "turn_idx"]))
+    assert len(sink.committed_batches()) <= 2  # 5 epochs folded down
