@@ -72,8 +72,15 @@ def main() -> None:
     # driver-comparable stream number needs the clean JVM)
     from dstream_spark.bench_pipeline import build_feed, run_dedup_sink, run_window_sink
 
-    feed_dir = os.environ.get("DSTREAM_BENCH_FEED", f"/tmp/dstream_bench_feed_{sf}")
-    build_feed(spark, sf_dir, feed_dir, replicas=10, n_slices=16)
+    # replicas=40 (4.4M events at sf0.1): at 1.1M the per-micro-batch
+    # fixed costs (state-store commit, epoch overhead) dominate and the
+    # events/s number mostly measures noise — 48k/71k at 1.1M vs
+    # 116k/186k at 4.4M for identical code (BENCH/NOTES.md)
+    replicas = int(os.environ.get("DSTREAM_BENCH_REPLICAS", "40"))
+    feed_dir = os.environ.get(
+        "DSTREAM_BENCH_FEED", f"/tmp/dstream_bench_feed_{sf}_r{replicas}"
+    )
+    build_feed(spark, sf_dir, feed_dir, replicas=replicas, n_slices=16)
     # steady-state protocol (BENCH/NOTES.md): first streaming run in a
     # JVM pays JIT/codegen/state-store init — warm once, then measure
     run_dedup_sink(spark, feed_dir, f"/tmp/dstream_bench_warm_{cores}", n_partitions=cores)

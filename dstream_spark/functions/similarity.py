@@ -37,6 +37,13 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(dot(a, b) / (l2_norm(a) * l2_norm(b)), 6)
 
 
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine() with pre-materialized norms — same expression tree
+    (dot / (na * nb), round 6) so results are bit-identical, but each
+    side's norm is computed once per ROW instead of once per PAIR."""
+    return F.round(dot(a, b) / (norm_a * norm_b), 6)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -50,15 +57,24 @@ def cosine_topk(
     across engines and partitionings."""
     from pyspark.sql import Window
 
+    # norms are materialized BEFORE the join: inlining l2_norm in the
+    # post-join cosine recomputes each corpus row's norm once per
+    # QUERY (Q-fold duplicate work); pre-join it's once per row — the
+    # store-the-norm-with-the-vector pattern any vector store uses.
+    # The expression tree (dot / (norm_a * norm_b)) is unchanged, so
+    # results stay bit-identical to the oracle.
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    )
+    ).withColumn("_nn", l2_norm(F.col("n_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("q_vec"), F.col("n_vec")) / (F.col("_qn") * F.col("_nn")), 6),
+        )
         .select("q_id", "n_id", "sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
@@ -111,9 +127,23 @@ def ivf_assign(
     centroid id. Output: (vec_id, c_id, sim)."""
     from pyspark.sql import Window
 
-    scored = vectors.select(id_col, vec_col).join(
-        F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
-    ).withColumn("sim", cosine(F.col(vec_col), F.col(centroid_vec_col)))
+    scored = (
+        vectors.select(id_col, vec_col)
+        .withColumn("_vn", l2_norm(F.col(vec_col)))  # once per vector, not per centroid
+        .join(
+            F.broadcast(
+                centroids.select(centroid_id_col, centroid_vec_col).withColumn(
+                    "_cn", l2_norm(F.col(centroid_vec_col))
+                )
+            )
+        )
+        .withColumn(
+            "sim",
+            cosine_with_norms(
+                F.col(vec_col), F.col(centroid_vec_col), F.col("_vn"), F.col("_cn")
+            ),
+        )
+    )
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col).asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -302,15 +302,21 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: all pairs above a
     similarity threshold (brute-force exact — the verifier for any
     ANN/LSH blocking scheme)."""
-    from dstream_spark.functions.similarity import cosine
+    from dstream_spark.functions.similarity import cosine_with_norms, l2_norm
 
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
-    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va")).withColumn(
+        "_na", l2_norm(F.col("va"))
+    )
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")).withColumn(
+        "_nb", l2_norm(F.col("vb"))
+    )
     return (
         a.join(b, F.col("ia") < F.col("ib"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", cosine_with_norms(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"))
+        )
         .filter(F.col("cos") >= 0.4)
         .select("ia", "ib", "cos")
     )
@@ -322,7 +328,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN the query's bucket. At 100 TB this turns an O(N·Q) scan
     into O(N·K + Q·N/K): candidate generation shuffles only
     (centroid_id) buckets, never the full corpus per query."""
-    from dstream_spark.functions.similarity import cosine, ivf_assign
+    from dstream_spark.functions.similarity import cosine_with_norms, ivf_assign, l2_norm
 
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
@@ -330,18 +336,24 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     assigned = ivf_assign(e, cents).select("vec_id", "c_id")
-    vecs = assigned.join(e, "vec_id").select("vec_id", "c_id", "embedding")
+    vecs = assigned.join(e, "vec_id").select("vec_id", "c_id", "embedding").withColumn(
+        "_n", l2_norm(F.col("embedding"))
+    )
     q = vecs.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("c_id").alias("q_c"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"), F.col("c_id").alias("q_c"),
+        F.col("embedding").alias("q_vec"), F.col("_n").alias("_qn"),
     )
     c = vecs.select(
-        F.col("vec_id").alias("n_id"), F.col("c_id").alias("n_c"), F.col("embedding").alias("n_vec")
+        F.col("vec_id").alias("n_id"), F.col("c_id").alias("n_c"),
+        F.col("embedding").alias("n_vec"), F.col("_n").alias("_nn"),
     )
     from pyspark.sql import Window
 
     scored = (
         c.join(F.broadcast(q), (F.col("q_c") == F.col("n_c")) & (F.col("q_id") != F.col("n_id")))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "sim", cosine_with_norms(F.col("q_vec"), F.col("n_vec"), F.col("_qn"), F.col("_nn"))
+        )
         .select("q_id", "n_id", "sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
@@ -417,24 +429,30 @@ def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine ≥ 0.4. The bucket equi-join is the scale path (shuffle
     on lsh_bucket only); emb_near_dup_pairs is its brute-force recall
     verifier."""
-    from dstream_spark.functions.similarity import cosine
+    from dstream_spark.functions.similarity import cosine_with_norms, l2_norm
     from dstream_spark.queries_base import _materialize
 
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
     b = _materialize(
-        q_emb_lsh_buckets(spark, sf_dir).join(e.select("vec_id", "embedding"), "vec_id"),
+        q_emb_lsh_buckets(spark, sf_dir)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .withColumn("_n", l2_norm(F.col("embedding"))),  # norm stored with the vector
         "lsh_buckets",
     )
     l = b.select(
-        F.col("vec_id").alias("ia"), F.col("lsh_bucket").alias("bk"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("ia"), F.col("lsh_bucket").alias("bk"),
+        F.col("embedding").alias("va"), F.col("_n").alias("_na"),
     )
     r = b.select(
-        F.col("vec_id").alias("ib"), F.col("lsh_bucket").alias("bk_r"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("ib"), F.col("lsh_bucket").alias("bk_r"),
+        F.col("embedding").alias("vb"), F.col("_n").alias("_nb"),
     )
     return (
         l.join(r, (F.col("bk") == F.col("bk_r")) & (F.col("ia") < F.col("ib")))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", cosine_with_norms(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"))
+        )
         .filter(F.col("cos") >= 0.4)
         .select("ia", "ib", "cos")
     )
