@@ -804,6 +804,12 @@ def _stream_window_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_window_sink(spark, sf_dir)
 
 
+def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)
+
+
 # closed sessions only: window end (last event + gap) <= final
 # watermark (max ts - delay); gap = delay = 30 min (predicate verified
 # at the boundary — see stream_session_windows docstring)
@@ -888,6 +894,20 @@ QUERIES: dict[str, Query] = {
         _stream_window_sink, ORACLES["tumbling_counts"],
         "north-star windowed pipeline: update-mode agg -> keyed exactly-once "
         "MERGE -> read back == batch tumbling oracle",
+    ),
+    "stream_static_enrich": Query(
+        _stream_static_enrich,
+        _t_sql(
+            """
+, dim AS (
+  SELECT tool, count(*) AS tool_total FROM transcripts
+  WHERE tool IS NOT NULL GROUP BY 1
+)
+SELECT t.conv_id, t.turn_idx, t.tool, d.tool_total
+FROM transcripts t JOIN dim d USING (tool)
+WHERE t.tool IS NOT NULL"""
+        ),
+        "stream-static dimension enrichment == batch join",
     ),
     "emb_norms": Query(q_emb_norms, ORACLES["emb_norms"]),
     "emb_cosine_topk": Query(q_emb_cosine_topk, ORACLES["emb_cosine_topk"]),

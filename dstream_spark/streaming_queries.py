@@ -280,3 +280,37 @@ def stream_window_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return sink.read_table(spark).select("w_start", "w_end", "conv_id", "n_turns", "n_agent")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming change feed enriched against a
+    STATIC dimension table (per-tool corpus totals, computed batch-side
+    up front). Spark broadcasts/rejoins the static side in every
+    micro-batch; append output is batching-invariant, so the result
+    equals the same join done fully in batch — the dimension-enrichment
+    pattern (CDC rows -> lookup table) the reference leaves to the
+    downstream consumer."""
+    feed = _scratch("senrich")
+    _write_feed(spark, sf_dir, feed, n_batches=4)
+    dim = (
+        transcripts_from_events(spark, sf_dir)
+        .filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(F.count(F.lit(1)).alias("tool_total"))
+    )
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    enriched = (
+        src.filter(F.col("tool").isNotNull())
+        .join(F.broadcast(dim), "tool")
+        .select("conv_id", "turn_idx", "tool", "tool_total")
+    )
+    name = f"senrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
