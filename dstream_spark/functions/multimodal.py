@@ -53,6 +53,86 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return (np.frombuffer(h[: dim * 2], dtype=np.uint16).astype(np.float32) / 65535.0)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
+    """mapInPandas image resize plumbing (1 row in → 1 row out, binary
+    in → smaller binary out). The real kernel is PIL's
+    Image.resize((w, h)); here the deterministic fake derives w*h
+    bytes by striding the payload so batch shape, output schema and
+    size accounting are all real and testable."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = p if isinstance(p, bytes) else bytes(p)
+                need = w * h
+                # deterministic fake "resample": cycle payload to w*h bytes
+                reps = (need + len(b) - 1) // len(b) if b else 1
+                out.append(((b or b"\x00") * reps)[:need])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_w": np.int32(w),
+                    "out_h": np.int32(h),
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """mapInPandas frame sampling plumbing (1 row in → n rows out — the
+    row-expanding UDF shape video decode needs). Real kernel: ffmpeg
+    keyframe extraction; the fake samples n_frames evenly-spaced
+    byte windows from the payload, so offsets/expansion/ordering are
+    real and oracle-checkable."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = p if isinstance(p, bytes) else bytes(p)
+                span = max(1, (len(b) - frame_bytes) // max(1, n_frames - 1))
+                for i in range(n_frames):
+                    off = min(i * span, max(0, len(b) - frame_bytes))
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+                    frames.append(b[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_offset": pd.array(offs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one out.
     Vectorized per batch; payload bytes never leave the executor."""

@@ -151,6 +151,49 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over mapInPandas (1 binary in → smaller
+    binary out, 16×4). The resample kernel is the deterministic fake
+    (cycle payload bytes); the oracle reproduces the exact output bytes
+    via repeat+substring and compares md5 — so batch shape, size
+    accounting and byte handling are all correctness-gated."""
+    from dstream_spark.functions.multimodal import resize_images
+
+    r = resize_images(_media(spark, sf_dir), w=16, h=4)
+    return r.select(
+        "media_id",
+        "kind",
+        "out_w",
+        "out_h",
+        F.length("resized").cast("int").alias("n_resized"),
+        F.md5("resized").alias("md5_resized"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over mapInPandas (1 row in → n_frames
+    rows out — the row-expanding shape video decode needs): 4 evenly
+    spaced 16-byte windows per payload, offsets and frame bytes both
+    oracle-checked."""
+    from dstream_spark.functions.multimodal import sample_frames
+
+    fr = sample_frames(_media(spark, sf_dir), n_frames=4, frame_bytes=16)
+    return fr.select(
+        "media_id", "frame_idx", "frame_offset", F.md5("frame").alias("md5_frame")
+    )
+
+
 def q_envelope_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4 format projection: re-emit each turn as the reference's data
     envelope {"metadata": {...}, "data": {...}} (readme.md:252-273,
@@ -558,6 +601,27 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        CAST(8 AS INT) AS feat_dim
 FROM documents""",
+    "multimodal_resize": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(16 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+       CAST(64 AS INT) AS n_resized,
+       md5(substring(repeat(text, CAST(CEIL(64.0 / octet_length(encode(text))) AS INT)), 1, 64)) AS md5_resized
+FROM documents""",
+    "multimodal_frames": """
+WITH f AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS ol,
+         unnest(generate_series(0, 3)) AS i
+  FROM documents
+), o AS (
+  SELECT media_id, text, CAST(i AS INT) AS frame_idx,
+         CAST(least(i * greatest(1, CAST(FLOOR((ol - 16) / 3.0) AS INT)),
+                    greatest(0, ol - 16)) AS INT) AS frame_offset
+  FROM f
+)
+SELECT media_id, frame_idx, frame_offset,
+       md5(substring(text, frame_offset + 1, 16)) AS md5_frame
+FROM o""",
     "envelope_projection": _t_sql(
         """
 SELECT conv_id, turn_idx,
@@ -697,6 +761,8 @@ EXT_QUERIES: dict[str, Query] = {
     "conv_first_last": Query(q_conv_first_last, EXT_ORACLES["conv_first_last"]),
     "term_frequency": Query(q_term_frequency, EXT_ORACLES["term_frequency"]),
     "multimodal_features": Query(q_multimodal_features, EXT_ORACLES["multimodal_features"]),
+    "multimodal_resize": Query(q_multimodal_resize, EXT_ORACLES["multimodal_resize"]),
+    "multimodal_frames": Query(q_multimodal_frames, EXT_ORACLES["multimodal_frames"]),
     "envelope_projection": Query(q_envelope_projection, EXT_ORACLES["envelope_projection"]),
     "users_click_and_error": Query(q_users_click_and_error, EXT_ORACLES["users_click_and_error"]),
     "pandas_udf_norm": Query(q_pandas_udf_norm, EXT_ORACLES["pandas_udf_norm"]),
