@@ -3,11 +3,12 @@
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
                  training-data-pipeline ops, ALL with DuckDB oracles,
-                 incl. eight REAL Structured Streaming runs (tumbling/
-                 sliding agg, exactly-once sink under replay, stateful
+                 incl. TEN real Structured Streaming runs (tumbling/
+                 sliding aggs, exactly-once sink under replay, stateful
                  cursor, session windows, stream-stream join,
                  watermark dedup, update-mode windowed agg → keyed
-                 exactly-once MERGE) checked against batch SQL
+                 exactly-once MERGE, stream-static enrichment,
+                 two-destination fanout) checked against batch SQL
 oracle_sql()   — matching DuckDB SQL per query
 """
 

@@ -810,6 +810,12 @@ def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enrich(spark, sf_dir)
 
 
+def _stream_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_multi_sink
+
+    return stream_multi_sink(spark, sf_dir)
+
+
 # closed sessions only: window end (last event + gap) <= final
 # watermark (max ts - delay); gap = delay = 30 min (predicate verified
 # at the boundary — see stream_session_windows docstring)
@@ -894,6 +900,10 @@ QUERIES: dict[str, Query] = {
         _stream_window_sink, ORACLES["tumbling_counts"],
         "north-star windowed pipeline: update-mode agg -> keyed exactly-once "
         "MERGE -> read back == batch tumbling oracle",
+    ),
+    "stream_multi_sink": Query(
+        _stream_multi_sink, ORACLES["relay_identity"],
+        "fanout to two lineaged sinks under replay; 2nd destination == identity",
     ),
     "stream_static_enrich": Query(
         _stream_static_enrich,

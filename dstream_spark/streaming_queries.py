@@ -314,3 +314,33 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink fanout under the gate (R3/D6): one change feed WITH a
+    replayed batch fans out to TWO MergeSinks, each with independent
+    lineage. Returning the SECOND destination's table proves the fanout
+    neither lost nor duplicated rows for a non-primary destination —
+    per-destination exactly-once, not just per-query."""
+    feed = _scratch("msink_feed")
+    t_a = _scratch("msink_a")
+    t_b = _scratch("msink_b")
+    ckpt = _scratch("msink_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, replay_batch0=True)
+    sink_a = MergeSink(t_a, n_partitions=4)
+    sink_b = MergeSink(t_b, n_partitions=4)
+    pipe = Pipeline(
+        spark,
+        {
+            "name": f"msink_{uuid.uuid4().hex[:8]}",
+            "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+            "sink": {"type": "multi", "sinks": [sink_a, sink_b]},
+            "checkpoint_dir": os.path.join(ckpt, "q"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    pipe.init()
+    q = pipe.run()
+    q.awaitTermination()
+    pipe.stop()
+    return sink_b.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
