@@ -96,10 +96,15 @@ def main() -> None:
         best["all_events_per_sec"] = [r["events_per_sec"] for r in runs]
         return best
 
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     stream = {
         "dedup_sink": best_of(run_dedup_sink, "dedup"),
         "window_sink": best_of(run_window_sink, "window"),
     }
+    # the sink runners pin shuffle.partitions = cores for micro-batch
+    # state; restore so the batch queries run under the session default
+    # (same conditions as earlier rounds' per-query numbers)
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
 
     # warm the JVM/file cache so per-query numbers measure the engine
     QUERIES["relay_identity"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -85,10 +85,12 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
             out = []
             for p in pdf["payload"]:
                 b = p if isinstance(p, bytes) else bytes(p)
+                if not b:
+                    b = b"\x00"  # empty payload still yields w*h bytes
                 need = w * h
                 # deterministic fake "resample": cycle payload to w*h bytes
-                reps = (need + len(b) - 1) // len(b) if b else 1
-                out.append(((b or b"\x00") * reps)[:need])
+                reps = (need + len(b) - 1) // len(b)
+                out.append((b * reps)[:need])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -73,7 +73,7 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .withColumn(
             "sim",
-            F.round(dot(F.col("q_vec"), F.col("n_vec")) / (F.col("_qn") * F.col("_nn")), 6),
+            cosine_with_norms(F.col("q_vec"), F.col("n_vec"), F.col("_qn"), F.col("_nn")),
         )
         .select("q_id", "n_id", "sim")
     )

@@ -74,8 +74,13 @@ def interval_join_salted(
     replicates the RIGHT side once per bucket, so a hot key's work is
     spread across ``buckets`` tasks — at the cost of a buckets× right
     shuffle. Use when right ≪ left (here: tool turns ≪ agent turns);
-    pick buckets ≈ the observed skew factor."""
-    salt = F.pmod(F.xxhash64(F.col(ts_col).cast("string")), F.lit(buckets)).cast("int")
+    pick buckets ≈ the observed skew factor.
+
+    The salt hashes EVERY left column, not just the timestamp: a bulk
+    backfill that stamps one ts on millions of a hot key's rows would
+    otherwise put the whole key in one bucket — defeating the guard in
+    exactly the adversarial case it exists for."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets)).cast("int")
     l = left.withColumn("_salt", salt)
     r = right.select(
         [F.col(c).alias(f"{c}_r") for c in right.columns]

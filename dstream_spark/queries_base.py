@@ -54,9 +54,14 @@ def _materialize(df: DataFrame, tag: str) -> DataFrame:
     tables are where that bites: they're expensive to derive and tiny
     to store. At 100 TB they are standalone pipeline artifacts anyway
     (derive once, self-join many times); this helper is the small-scale
-    form of exactly that."""
+    form of exactly that. Scratch dirs are removed at interpreter exit
+    (repeated harness/bench invocations would otherwise grow /tmp
+    without bound)."""
+    import atexit
+    import shutil
     import tempfile
 
     path = tempfile.mkdtemp(prefix=f"dstream_mat_{tag}_")
+    atexit.register(shutil.rmtree, path, True)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -314,10 +314,12 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 adapted (fixture p_type is a plain category): promo
-    revenue share over 1996. The percentage is computed with integer
-    division to ppm over exact cent sums — a BIGINT ratio is the only
-    cross-engine-safe way to emit a derived float (round() on computed
-    doubles diverges between engines)."""
+    revenue share over 1996. The percentage is one IEEE division of
+    the two exact BIGINT cent sums — deterministic on any engine
+    (identical inputs ⇒ identical double), with no overflow at any
+    scale (the earlier integer-scaled form 1e8·promo_cents overflowed
+    int64 just beyond sf0.1). round() on computed doubles is still
+    avoided — it diverges between engines; a single div/mul does not."""
     register_tables(spark, sf_dir, ("lineitem", "part"))
     li = spark.table("lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -337,7 +339,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         (F.col("promo_cents") / 100.0).alias("promo_revenue"),
         (F.col("total_cents") / 100.0).alias("total_revenue"),
-        (F.expr("(100000000 * promo_cents) DIV total_cents") / 1000000.0).alias("promo_pct"),
+        (
+            F.col("promo_cents").cast("double") * 100.0
+            / F.col("total_cents").cast("double")
+        ).alias("promo_pct"),
     )
 
 
@@ -681,7 +686,7 @@ WITH j AS (
 )
 SELECT promo_cents / 100.0 AS promo_revenue,
        total_cents / 100.0 AS total_revenue,
-       ((100000000 * promo_cents) // total_cents) / 1000000.0 AS promo_pct
+       CAST(promo_cents AS DOUBLE) * 100.0 / CAST(total_cents AS DOUBLE) AS promo_pct
 FROM s""",
     "docs_bpe_tokens": """
 SELECT doc_id,

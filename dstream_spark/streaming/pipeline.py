@@ -96,6 +96,7 @@ class Pipeline:
         self.lock = Lock(os.path.join(ckpt, "_dstream.lock"), ttl_s=ttl) if ckpt else None
         self._hb_stop: threading.Event | None = None
         self._hb_thread: threading.Thread | None = None
+        self.lock_lost: str | None = None  # set by the heartbeat on lease loss
         self.crash_monitor = None  # FailureCaptureListener when enabled
 
     def _start_heartbeat(self, owner: str) -> None:
@@ -111,7 +112,17 @@ class Pipeline:
             while not self._hb_stop.wait(interval):
                 try:
                     self.lock.heartbeat(owner)
-                except LockHeldError:  # lost the lease (clock skew/manual break)
+                except LockHeldError as e:
+                    # Lease lost (heartbeat delayed past TTL and another
+                    # writer broke it). Fail-stop: two unfenced writers
+                    # on one sink is the exact state the lock prevents,
+                    # so stop THIS query and surface the loss.
+                    self.lock_lost = str(e)
+                    try:
+                        if self.query is not None and self.query.isActive:
+                            self.query.stop()
+                    except Exception:
+                        pass
                     break
 
         self._hb_thread = threading.Thread(
@@ -139,21 +150,33 @@ class Pipeline:
             os.makedirs(os.path.dirname(self.lock.path), exist_ok=True)
             self.lock.acquire(owner)
             self._start_heartbeat(owner)
-        # opt-in: the listener is session-global and fires per progress
-        # event, so benches keep it off the hot loop
-        if self.conf.get("surface_failures") and self.crash_monitor is None:
-            from dstream_spark.streaming.metrics import FailureCaptureListener
+        try:
+            # opt-in: the listener is session-global and fires per
+            # progress event, so benches keep it off the hot loop
+            if self.conf.get("surface_failures") and self.crash_monitor is None:
+                from dstream_spark.streaming.metrics import FailureCaptureListener
 
-            self.crash_monitor = FailureCaptureListener()
-            self.spark.streams.addListener(self.crash_monitor)
-        df = self.build()
-        sink_conf = dict(self.conf["sink"])
-        writer = get_sink(sink_conf.pop("type"))(df, sink_conf)
-        trigger = self.conf.get("trigger", {"availableNow": True})
-        writer = writer.trigger(**trigger)
-        if self.conf.get("checkpoint_dir"):
-            writer = writer.option("checkpointLocation", self.conf["checkpoint_dir"])
-        self.query = writer.queryName(self.name).start()
+                self.crash_monitor = FailureCaptureListener()
+                self.spark.streams.addListener(self.crash_monitor)
+            df = self.build()
+            sink_conf = dict(self.conf["sink"])
+            writer = get_sink(sink_conf.pop("type"))(df, sink_conf)
+            trigger = self.conf.get("trigger", {"availableNow": True})
+            writer = writer.trigger(**trigger)
+            if self.conf.get("checkpoint_dir"):
+                writer = writer.option("checkpointLocation", self.conf["checkpoint_dir"])
+            self.query = writer.queryName(self.name).start()
+        except Exception:
+            # a failed START must not leak the heartbeat/lease: the
+            # daemon would renew the lock forever and a self-healing
+            # stale lock becomes a permanent lock-out
+            self._stop_heartbeat()
+            if self.crash_monitor is not None:
+                self.spark.streams.removeListener(self.crash_monitor)
+                self.crash_monitor = None
+            if self.lock:
+                self.lock.release(owner)
+            raise
         if self.crash_monitor is not None:
             self.crash_monitor.watch(str(self.query.id))
         if await_termination:
@@ -238,6 +261,8 @@ class Pipeline:
             out["last_progress"] = self.query.lastProgress
         if self.crash_monitor is not None:
             out["failures"] = list(self.crash_monitor.failures)
+        if self.lock_lost:
+            out["lock_lost"] = self.lock_lost
         sink = self.conf.get("sink", {}).get("sink")
         if sink is not None:
             out["sink"] = sink.status()

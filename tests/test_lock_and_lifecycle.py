@@ -130,3 +130,31 @@ def test_heartbeat_keeps_lock_past_ttl(spark, tmp_path):
     q3 = p3.run(owner="proc-3")
     assert q3.isActive
     p3.stop(owner="proc-3")
+
+
+def test_failed_start_releases_lock_and_heartbeat(spark, tmp_path):
+    """A run() that fails BEFORE the query starts must not leak the
+    lease: without cleanup the heartbeat daemon renews the lock forever
+    and a self-healing stale lock becomes a permanent lock-out."""
+    conf = {
+        "name": "leaky",
+        "source": {"type": "rate"},
+        "sink": {"type": "no_such_sink"},
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "lock_ttl_s": 0.5,
+    }
+    p1 = Pipeline(spark, conf)
+    with pytest.raises(KeyError):
+        p1.run(owner="proc-1")
+    # lock released immediately (not merely stale-broken later)
+    assert not (tmp_path / "ckpt" / "_dstream.lock").exists()
+    time.sleep(0.7)  # a leaked heartbeat would have recreated it by now
+    assert not (tmp_path / "ckpt" / "_dstream.lock").exists()
+    # a second writer proceeds without waiting out any TTL
+    good = dict(conf, sink={"type": "memory", "name": "leak_check"},
+                source={"type": "rate", "rows_per_second": 1},
+                trigger={"processingTime": "1 second"})
+    p2 = Pipeline(spark, good)
+    q = p2.run(owner="proc-2")
+    assert q.isActive
+    p2.stop(owner="proc-2")
