@@ -346,6 +346,35 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 adapted: large-volume orders (total quantity > 150)
+    with their customer — aggregate + HAVING + join chain +
+    deterministic top-k. Quantity sums use exact cents so HAVING
+    evaluates identically on both engines."""
+    register_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long"))).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 150 * 100)
+    )
+    j = (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_cents") / 100.0).alias("total_qty"),
+        )
+    )
+    return j.orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc()).limit(50)
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: all pairs above a
     similarity threshold (brute-force exact — the verifier for any
@@ -674,6 +703,19 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20""",
+    "tpch_q18": """
+WITH qty AS (
+  SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) > 15000
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       qty_cents / 100.0 AS total_qty
+FROM qty
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 50""",
     "tpch_q14": """
 WITH j AS (
   SELECT CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS cents, p_type
@@ -778,6 +820,7 @@ EXT_QUERIES: dict[str, Query] = {
     "tpch_q4": Query(q_tpch_q4, EXT_ORACLES["tpch_q4"]),
     "tpch_q10": Query(q_tpch_q10, EXT_ORACLES["tpch_q10"]),
     "tpch_q14": Query(q_tpch_q14, EXT_ORACLES["tpch_q14"]),
+    "tpch_q18": Query(q_tpch_q18, EXT_ORACLES["tpch_q18"]),
     "emb_near_dup_pairs": Query(q_emb_near_dup_pairs, EXT_ORACLES["emb_near_dup_pairs"]),
     "emb_ivf_topk": Query(q_emb_ivf_topk, EXT_ORACLES["emb_ivf_topk"]),
     "docs_bpe_tokens": Query(q_docs_bpe_tokens, EXT_ORACLES["docs_bpe_tokens"]),
