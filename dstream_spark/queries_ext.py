@@ -45,6 +45,23 @@ def q_running_turn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + ntile window functions: per-turn gap to the previous turn
+    in the conversation (seconds, NULL for the first turn) and the
+    turn's quartile within the conversation. Epochs floor to whole
+    seconds on both engines (the shared-CTE convention); the diff of
+    two same-session epochs is timezone-invariant."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        (epoch - F.lag(epoch).over(w)).alias("gap_s"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
 def q_rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping over (event_type, value decile bucket)."""
     register_tables(spark, sf_dir, ("events",))
@@ -588,6 +605,15 @@ SELECT conv_id, turn_idx,
 FROM transcripts
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)"""
     ),
+    "turn_gaps": _t_sql(
+        """
+SELECT conv_id, turn_idx,
+       CAST(FLOOR(epoch(ts)) AS BIGINT)
+         - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS gap_s,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"""
+    ),
     "rollup_event_stats": """
 SELECT event_type, CAST(FLOOR(value / 100.0) AS INT) AS bucket,
        count(*) AS n, CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
@@ -796,6 +822,7 @@ SELECT q_id, n_id, sim, rank FROM (
 EXT_QUERIES: dict[str, Query] = {
     "asof_join_tool": Query(q_asof_join_tool, EXT_ORACLES["asof_join_tool"]),
     "running_turn_counts": Query(q_running_turn_counts, EXT_ORACLES["running_turn_counts"]),
+    "turn_gaps": Query(q_turn_gaps, EXT_ORACLES["turn_gaps"]),
     "rollup_event_stats": Query(q_rollup_event_stats, EXT_ORACLES["rollup_event_stats"]),
     "conv_role_pivot": Query(q_conv_role_pivot, EXT_ORACLES["conv_role_pivot"]),
     "median_value_by_type": Query(q_median_value_by_type, EXT_ORACLES["median_value_by_type"]),
