@@ -454,6 +454,50 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= 3)
 
 
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's-iteration centroid update expressed relationally
+    (the iterative-algorithm family): assign every vector to its
+    nearest centroid (emb_ivf_assign), then recompute each centroid
+    dimension as the cluster mean. Emitted as (c_id, pos, mean) rows —
+    the shuffle is (c_id, pos) keyed, so a 10^9-vector update is one
+    partial-aggregated exchange, no driver involvement. Means use the
+    exact-integer trick (quantize to 1e-6, BIGINT sum, one final
+    division) so float accumulation order cannot diverge the result."""
+    from dstream_spark.functions.similarity import ivf_assign
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign(e, cents).select("vec_id", "c_id")
+    vecs = assigned.join(e, "vec_id")
+    dims = vecs.select(
+        "c_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).withColumn("q", F.floor(F.col("val").cast("double") * 1000000 + 0.5).cast("long"))
+    return (
+        dims.groupBy("c_id", F.col("pos").cast("int").alias("pos"))
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_id",
+            "pos",
+            (F.col("sq").cast("double") / (F.col("n").cast("double") * 1000000.0)).alias("mean"),
+        )
+    )
+
+
+def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over (event_type, weekday): all four grouping
+    combinations in one pass — completes the grouping-analytics family
+    next to ROLLUP and PIVOT."""
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events").withColumn("dow", F.dayofweek("ts").cast("int"))
+    return e.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0).alias("sum_value"),
+    )
+
+
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a quasi-ordered feed with a
     replayed first batch: duplicates are eliminated (in-watermark) or
@@ -786,6 +830,39 @@ WITH p AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 )
 SELECT ia, ib, cos FROM p WHERE cos >= 0.4""",
+    "emb_kmeans_step": """
+WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+scored_c AS (
+  SELECT e.vec_id, c.c_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])))), 6) AS sim
+  FROM embeddings e JOIN cents c ON TRUE
+),
+assigned AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM scored_c
+  ) WHERE rn = 1
+),
+vecs AS (
+  SELECT a.c_id, e.embedding FROM assigned a JOIN embeddings e USING (vec_id)
+),
+dims AS (
+  SELECT c_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM vecs
+)
+SELECT c_id, CAST(pos AS INT) AS pos,
+       CAST(SUM(CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
+FROM dims GROUP BY 1, 2""",
+    "cube_event_stats": """
+SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, count(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))""",
     "emb_ivf_topk": """
 WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
 scored_c AS (
@@ -853,6 +930,8 @@ EXT_QUERIES: dict[str, Query] = {
     "docs_bpe_tokens": Query(q_docs_bpe_tokens, EXT_ORACLES["docs_bpe_tokens"]),
     "emb_lsh_buckets": Query(q_emb_lsh_buckets, EXT_ORACLES["emb_lsh_buckets"]),
     "emb_lsh_pairs": Query(q_emb_lsh_pairs, EXT_ORACLES["emb_lsh_pairs"]),
+    "emb_kmeans_step": Query(q_emb_kmeans_step, EXT_ORACLES["emb_kmeans_step"]),
+    "cube_event_stats": Query(q_cube_event_stats, EXT_ORACLES["cube_event_stats"]),
     "tool_correlation_salted": Query(
         q_tool_correlation_salted,
         _t_sql(
