@@ -231,6 +231,39 @@ def q_envelope_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("conv_id", "turn_idx", env.alias("envelope"))
 
 
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p25/p50/p75) per event type —
+    Spark's percentile() and DuckDB's quantile_cont use the same
+    linear-interpolation formula, verified bit-exact without rounding."""
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+    )
+
+
+def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 validity-filter path, parse direction: the reference's JSON
+    envelope parsed BACK through from_json into typed fields (schema
+    mismatch → NULL, the drop-invalid contract). Round-trips the
+    envelope_projection output."""
+    env_df = q_envelope_projection(spark, sf_dir)
+    schema = (
+        "metadata STRUCT<TableName: STRING, Seq: INT, OperationType: STRING>, "
+        "data STRUCT<role: STRING, text: STRING>"
+    )
+    parsed = env_df.withColumn("p", F.from_json(F.col("envelope"), schema))
+    return parsed.select(
+        F.col("p.metadata.TableName").alias("table_name"),
+        F.col("p.metadata.Seq").alias("seq"),
+        F.col("p.metadata.OperationType").alias("op"),
+        F.col("p.data.role").alias("role"),
+        F.col("p.data.text").alias("text"),
+    )
+
+
 def q_users_click_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: INTERSECT."""
     register_tables(spark, sf_dir, ("events",))
@@ -736,6 +769,17 @@ SELECT conv_id, turn_idx,
        ))::VARCHAR AS envelope
 FROM transcripts"""
     ),
+    "event_value_percentiles": """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.75) AS p75
+FROM events GROUP BY 1""",
+    "envelope_parse": _t_sql(
+        """
+SELECT conv_id AS table_name, turn_idx AS seq, 'Insert' AS op, role, text
+FROM transcripts"""
+    ),
     "users_click_and_error": """
 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 INTERSECT
@@ -916,6 +960,13 @@ EXT_QUERIES: dict[str, Query] = {
     "multimodal_frames": Query(q_multimodal_frames, EXT_ORACLES["multimodal_frames"]),
     "envelope_projection": Query(q_envelope_projection, EXT_ORACLES["envelope_projection"]),
     "users_click_and_error": Query(q_users_click_and_error, EXT_ORACLES["users_click_and_error"]),
+    "event_value_percentiles": Query(
+        q_event_value_percentiles, EXT_ORACLES["event_value_percentiles"]
+    ),
+    "envelope_parse": Query(
+        q_envelope_parse, EXT_ORACLES["envelope_parse"],
+        "from_json round-trip of the reference envelope == plain projection",
+    ),
     "pandas_udf_norm": Query(q_pandas_udf_norm, EXT_ORACLES["pandas_udf_norm"]),
     "stream_tool_join": Query(
         q_stream_tool_join, EXT_ORACLES["stream_tool_join"],
