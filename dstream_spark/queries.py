@@ -375,6 +375,34 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE LSH dedup pipeline in one query: MinHash bands →
+    bucket-join candidates → exact Jaccard verification on the
+    candidates only (array_intersect on the two shingle sets — no
+    explode, candidates are few) → keep pairs ≥ 0.3. This is the
+    two-stage shape that runs at 100 TB: candidate generation shuffles
+    only band hashes, the quadratic-exact step touches only the
+    candidate set."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    cand = q_docs_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    sh = d.select(
+        "doc_id", dedup_text.word_shingles("text", 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(
+        shared.cast("double") / (F.col("n_a") + F.col("n_b") - shared), 6
+    ).alias("jaccard")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
@@ -718,6 +746,26 @@ FROM bands l
 JOIN bands r
   ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 GROUP BY 1, 2""",
+    "docs_minhash_verified": f"""
+WITH {_SIG_CTE}, bands AS (
+{_BANDS_BODY}
+), cand AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l
+  JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), shn AS (
+  SELECT doc_id, sh, len(sh) AS n FROM sh
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM cand
+JOIN shn a ON a.doc_id = id_a
+JOIN shn b ON b.doc_id = id_b
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) >= 0.3""",
     "docs_simhash": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -872,6 +920,10 @@ QUERIES: dict[str, Query] = {
     "docs_minhash_bands": Query(q_docs_minhash_bands, ORACLES["docs_minhash_bands"]),
     "docs_minhash_pairs": Query(
         q_docs_minhash_pairs, ORACLES["docs_minhash_pairs"], "LSH pairs derived from bands"
+    ),
+    "docs_minhash_verified": Query(
+        q_docs_minhash_verified, ORACLES["docs_minhash_verified"],
+        "full LSH dedup: bands -> candidates -> exact-Jaccard verify",
     ),
     "docs_simhash": Query(q_docs_simhash, ORACLES["docs_simhash"]),
     "docs_simhash_dups": Query(q_docs_simhash_dups, ORACLES["docs_simhash_dups"]),
