@@ -193,3 +193,20 @@ def test_jaccard_max_df_cap(spark):
         for r in jaccard_pairs(df, threshold=0.01).collect()
     }
     assert (2, 3) in uncapped  # sanity: the cap is what removed it
+
+
+def test_simhash_table_equals_expression_form(spark):
+    """simhash_table (explode + partial aggregate) must equal
+    simhash_expr (per-row bit folds) on identical input."""
+    from dstream_spark.functions.dedup_text import simhash_table
+
+    df = spark.createDataFrame(
+        [(i, f"turn {i} says token{i % 7} and token{i % 3} again") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    expr_form = {
+        (r.doc_id, r.h)
+        for r in df.select("doc_id", simhash_expr("text").alias("h")).collect()
+    }
+    table_form = {(r.doc_id, r.simhash) for r in simhash_table(df).collect()}
+    assert expr_form == table_form
