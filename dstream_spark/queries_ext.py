@@ -273,6 +273,26 @@ def q_users_click_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicked.intersect(errored)
 
 
+def q_conv_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (completes the pandas API surface next
+    to scalar pandas_udf, applyInPandasWithState and mapInPandas):
+    per-conversation re-sequencing — sort the group by (ts, turn_idx)
+    and emit its 0-based arrival order. Integer outputs, so the Arrow
+    round-trip is oracle-exact."""
+    import pandas as pd
+
+    t = _transcripts(spark, sf_dir)
+
+    def renumber(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        pdf["order_in_conv"] = pd.array(range(len(pdf)), dtype="int32")
+        return pdf[["conv_id", "turn_idx", "order_in_conv"]]
+
+    return t.groupBy("conv_id").applyInPandas(
+        renumber, "conv_id string, turn_idx int, order_in_conv int"
+    )
+
+
 def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vectorized-UDF extension surface (the reference's 'write
     providers in any language', readme.md:297-316 → 'write transforms
@@ -784,6 +804,13 @@ FROM transcripts"""
 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+    "conv_renumber": _t_sql(
+        """
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1 AS INT)
+         AS order_in_conv
+FROM transcripts"""
+    ),
     "pandas_udf_norm": """
 SELECT doc_id, replace(lower(trim(text)), '  ', ' ') AS norm_text FROM documents""",
     "stream_tool_join": _t_sql(
@@ -968,6 +995,7 @@ EXT_QUERIES: dict[str, Query] = {
         "from_json round-trip of the reference envelope == plain projection",
     ),
     "pandas_udf_norm": Query(q_pandas_udf_norm, EXT_ORACLES["pandas_udf_norm"]),
+    "conv_renumber": Query(q_conv_renumber, EXT_ORACLES["conv_renumber"]),
     "stream_tool_join": Query(
         q_stream_tool_join, EXT_ORACLES["stream_tool_join"],
         "REAL stream-stream watermarked interval join vs batch oracle",
