@@ -327,6 +327,66 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHAR_BIGRAMS: dict[str, tuple[str, str]] = {
+    "en": ("th", "he"),
+    "de": ("ch", "ei"),
+    "fr": ("qu", "le"),
+    "es": ("ar", "st"),
+    "zh": ("ng", "sh"),
+}
+
+
+def q_docs_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language-ID (the brief's 'n-gram heuristic'
+    form, next to the word-marker docs_langid): per language, count
+    marker BIGRAM occurrences via the replace trick — pure string
+    expressions, one scan. Deterministic argmax tiebreak as in
+    predicted_lang."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+
+    def bg_count(bg: str):
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(bg)))) / 2
+        ).cast("int")
+
+    scores = {
+        lang: (bg_count(a) + bg_count(b)).cast("int")
+        for lang, (a, b) in _CHAR_BIGRAMS.items()
+    }
+    pred = F.greatest(
+        *[
+            F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+            for lang in _CHAR_BIGRAMS
+        ]
+    ).getField("l")
+    return d.select(
+        "doc_id",
+        *[scores[lang].alias(f"bg_{lang}") for lang in _CHAR_BIGRAMS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def q_docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (the brief's
+    'rolling hash' form, next to the md5-prefix fingerprint): a
+    modular polynomial fold over per-token codes — one JVM-side
+    aggregate per row, no shuffle; grouping on the hash is the exact
+    dedup blocking key."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    vals = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: F.ascii(t).cast("long") * 131 + F.length(t).cast("long"),
+    )
+    h = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % 1000000007,
+    )
+    return d.select("doc_id", h.alias("rolling_hash"))
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
@@ -705,6 +765,35 @@ FROM documents""",
 SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
        count(*) AS n_docs, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1""",
+    "docs_langid_ngram": """
+SELECT doc_id,
+"""
+    + ",\n".join(
+        "       CAST((length(text) - length(replace(text, '{a}', ''))) // 2"
+        " + (length(text) - length(replace(text, '{b}', ''))) // 2 AS INT) AS bg_{lang}".format(
+            a=a, b=b, lang=lang
+        )
+        for lang, (a, b) in _CHAR_BIGRAMS.items()
+    )
+    + """,
+       (SELECT l FROM (VALUES """
+    + ", ".join(
+        "(CAST((length(text) - length(replace(text, '{a}', ''))) // 2"
+        " + (length(text) - length(replace(text, '{b}', ''))) // 2 AS INT), '{lang}')".format(
+            a=a, b=b, lang=lang
+        )
+        for lang, (a, b) in _CHAR_BIGRAMS.items()
+    )
+    + """) AS v(s, l) ORDER BY s DESC, l DESC LIMIT 1) AS predicted_lang
+FROM documents""",
+    "docs_rolling_hash": """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(ascii(t) AS BIGINT) * 131 + CAST(length(t) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+FROM documents""",
     "docs_ngram_jaccard": f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents
@@ -915,6 +1004,8 @@ QUERIES: dict[str, Query] = {
     "docs_token_stats": Query(q_docs_token_stats, ORACLES["docs_token_stats"]),
     "docs_quality": Query(q_docs_quality, ORACLES["docs_quality"]),
     "docs_langid": Query(q_docs_langid, ORACLES["docs_langid"]),
+    "docs_langid_ngram": Query(q_docs_langid_ngram, ORACLES["docs_langid_ngram"]),
+    "docs_rolling_hash": Query(q_docs_rolling_hash, ORACLES["docs_rolling_hash"]),
     "docs_fingerprint": Query(q_docs_fingerprint, ORACLES["docs_fingerprint"]),
     "docs_ngram_jaccard": Query(q_docs_ngram_jaccard, ORACLES["docs_ngram_jaccard"]),
     "docs_ngram_jaccard_capped": Query(
