@@ -327,6 +327,20 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-text dedup: hash-groupBy on md5(text) — the
+    brief's 'exact (hash-groupBy)' family in its literal form (the
+    md5-prefix fingerprint is the blocking variant). One shuffle on
+    the 16-byte hash, never on text."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
 _CHAR_BIGRAMS: dict[str, tuple[str, str]] = {
     "en": ("th", "he"),
     "de": ("ch", "ei"),
@@ -765,6 +779,9 @@ FROM documents""",
 SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
        count(*) AS n_docs, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1""",
+    "docs_exact_dedup": """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1""",
     "docs_langid_ngram": """
 SELECT doc_id,
 """
@@ -1007,6 +1024,7 @@ QUERIES: dict[str, Query] = {
     "docs_langid_ngram": Query(q_docs_langid_ngram, ORACLES["docs_langid_ngram"]),
     "docs_rolling_hash": Query(q_docs_rolling_hash, ORACLES["docs_rolling_hash"]),
     "docs_fingerprint": Query(q_docs_fingerprint, ORACLES["docs_fingerprint"]),
+    "docs_exact_dedup": Query(q_docs_exact_dedup, ORACLES["docs_exact_dedup"]),
     "docs_ngram_jaccard": Query(q_docs_ngram_jaccard, ORACLES["docs_ngram_jaccard"]),
     "docs_ngram_jaccard_capped": Query(
         q_docs_ngram_jaccard_capped, ORACLES["docs_ngram_jaccard_capped"]
