@@ -65,6 +65,11 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(8, cores * 3 // 2)}g")
     spark = get_spark(app_name="dstream_bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    # session-default shuffle partitions, captured BEFORE any sink
+    # runner pins spark.sql.shuffle.partitions=cores (the warm-up call
+    # below already pins it — capturing later restores the pinned
+    # value and leaks bench conf into the batch per-query timings)
+    shuffle_default = spark.conf.get("spark.sql.shuffle.partitions")
 
     # north-star streaming pipelines (events/sec) — measured FIRST:
     # the heavy similarity headline queries leave the heap fragmented
@@ -96,15 +101,14 @@ def main() -> None:
         best["all_events_per_sec"] = [r["events_per_sec"] for r in runs]
         return best
 
-    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     stream = {
         "dedup_sink": best_of(run_dedup_sink, "dedup"),
         "window_sink": best_of(run_window_sink, "window"),
     }
     # the sink runners pin shuffle.partitions = cores for micro-batch
-    # state; restore so the batch queries run under the session default
-    # (same conditions as earlier rounds' per-query numbers)
-    spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+    # state; restore the pre-pin session default so the batch queries
+    # run under the same conditions as earlier rounds' per-query numbers
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_default)
 
     # warm the JVM/file cache so per-query numbers measure the engine
     QUERIES["relay_identity"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

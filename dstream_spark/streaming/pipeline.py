@@ -49,39 +49,117 @@ class LockHeldError(RuntimeError):
 
 
 class Lock:
-    """File lock with stale-TTL breaking (blob-lease analog)."""
+    """File lock with stale-TTL breaking (blob-lease analog).
+
+    Acquisition is ATOMIC — the read-check-write TOCTOU the
+    reference's blob lease avoids (docs/capability-inventory.md:
+    185-192) is closed with two primitives:
+
+    - claim of an ABSENT lock: ``os.link`` of a fully-written tmp file
+      — atomic create-if-absent whose content appears whole
+      (object-store analog: If-None-Match PUT of a complete object);
+    - break of a STALE (>TTL) lock: re-check + unlink serialized under
+      a short ``flock`` critical section, so two racers on an expired
+      lock get exactly one winner and a fresh lock is never deleted
+      (object-store analog: conditional PUT/DELETE with If-Match ETag
+      — a CAS on the lock object). flock auto-releases on process
+      death, so the breaker mutex itself cannot leak.
+
+    A holder that renews only AFTER its lease expired may find the
+    lock broken and re-owned; its heartbeat then raises LockHeldError
+    and the pipeline fail-stops (lease-loss semantics).
+    """
 
     def __init__(self, path: str, ttl_s: float = LOCK_STALE_S):
         self.path = path
         self.ttl_s = ttl_s
 
-    def acquire(self, owner: str) -> None:
-        now = time.time()
-        if os.path.exists(self.path):
+    def _write_exclusive(self, owner: str) -> bool:
+        """Claim an absent lock atomically. False = lost the race.
+
+        The claim is ``os.link`` of a FULLY-WRITTEN tmp file: atomic
+        create-if-absent whose content appears whole (O_CREAT|O_EXCL
+        then write is not atomic *together* — a racer can read the
+        empty window as a torn lock and break it). Object-store
+        analog: If-None-Match PUT of a complete object."""
+        tmp = f"{self.path}.claim-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "w") as f:
+            json.dump({"owner": owner, "ts": time.time()}, f)
+        try:
+            os.link(tmp, self.path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _cas_unlink_stale(self) -> bool:
+        """Compare-and-delete: remove the lock iff it is STILL stale,
+        atomically w.r.t. other breakers (flock-serialized; an
+        object-store impl would use If-Match conditional DELETE).
+        True = the slot is now free to claim."""
+        import fcntl
+
+        with open(self.path + ".cas", "w") as mutex:
+            fcntl.flock(mutex, fcntl.LOCK_EX)
             try:
                 meta = json.load(open(self.path))
+            except FileNotFoundError:
+                return True  # already broken/released — slot free
             except (json.JSONDecodeError, OSError):
-                meta = {"ts": 0}
-            age = now - meta.get("ts", 0)
-            if age < self.ttl_s and meta.get("owner") != owner:
+                meta = {"ts": 0}  # genuinely torn lock: age it out
+            if time.time() - meta.get("ts", 0) < self.ttl_s:
+                return False  # re-owned by a faster breaker — live again
+            os.unlink(self.path)
+            return True
+            # flock released when `mutex` closes
+
+    def acquire(self, owner: str) -> None:
+        for _ in range(4):  # create → (break stale → re-create) bounded retries
+            if self._write_exclusive(owner):
+                return
+            try:
+                meta = json.load(open(self.path))
+            except FileNotFoundError:
+                continue  # holder released between open attempts — retry create
+            except (json.JSONDecodeError, OSError):
+                meta = {"ts": 0}  # torn/garbage lock: age it out below
+            age = time.time() - meta.get("ts", 0)
+            if meta.get("owner") == owner:
+                # renewal (heartbeat): single-file replace keeps the
+                # content swap atomic for concurrent readers
+                tmp = f"{self.path}.tmp-{os.getpid()}-{threading.get_ident()}"
+                with open(tmp, "w") as f:
+                    json.dump({"owner": owner, "ts": time.time()}, f)
+                os.replace(tmp, self.path)
+                return
+            if age < self.ttl_s:
                 raise LockHeldError(
                     f"lock {self.path} held by {meta.get('owner')} ({age:.0f}s old)"
                 )
-            # stale (>TTL) → break it, as the reference does
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"owner": owner, "ts": now}, f)
-        os.replace(tmp, self.path)
+            # stale (>TTL) → break it, as the reference does — via CAS
+            # so a lock that was re-claimed in the meantime is never
+            # deleted; then loop back to the atomic claim
+            self._cas_unlink_stale()
+        raise LockHeldError(f"lock {self.path}: lost the acquisition race repeatedly")
 
     def heartbeat(self, owner: str) -> None:
         self.acquire(owner)
 
     def release(self, owner: str) -> None:
-        if os.path.exists(self.path):
+        """Unlink our own lock; check+unlink run under the same CAS
+        mutex as the stale break so a successor's lock (ours expired
+        and was broken mid-release) is never deleted."""
+        import fcntl
+
+        if not os.path.exists(self.path):
+            return
+        with open(self.path + ".cas", "w") as mutex:
+            fcntl.flock(mutex, fcntl.LOCK_EX)
             try:
                 if json.load(open(self.path)).get("owner") == owner:
                     os.remove(self.path)
-            except (json.JSONDecodeError, OSError):
+            except (json.JSONDecodeError, OSError, FileNotFoundError):
                 pass
 
 

@@ -24,6 +24,64 @@ def test_lock_acquire_reject_stale_break(tmp_path):
     assert not (tmp_path / "x.lock").exists()
 
 
+def test_lock_race_exactly_one_winner(tmp_path):
+    """TOCTOU contract: N threads racing acquire() on an ABSENT lock →
+    exactly one winner (the atomic O_CREAT|O_EXCL claim; the reference's
+    blob lease is likewise atomic, docs/capability-inventory.md:185-192)."""
+    import threading
+
+    lock = Lock(str(tmp_path / "race.lock"), ttl_s=60)
+    results: dict[str, bool] = {}
+    barrier = threading.Barrier(8)
+
+    def contend(owner: str) -> None:
+        barrier.wait()
+        try:
+            lock.acquire(owner)
+            results[owner] = True
+        except LockHeldError:
+            results[owner] = False
+
+    threads = [threading.Thread(target=contend, args=(f"w{i}",)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [o for o, won in results.items() if won]
+    assert len(winners) == 1
+    import json
+
+    assert json.load(open(lock.path))["owner"] == winners[0]
+
+
+def test_lock_race_on_stale_exactly_one_winner(tmp_path):
+    """Two processes racing an EXPIRED lock: the stale break is an
+    atomic rename-aside, so exactly one wins and the loser sees the
+    winner's fresh (non-stale) lock."""
+    import threading
+
+    lock = Lock(str(tmp_path / "stale.lock"), ttl_s=0.2)
+    lock.acquire("dead-writer")
+    time.sleep(0.3)  # now provably stale
+    results: dict[str, bool] = {}
+    barrier = threading.Barrier(8)
+
+    def contend(owner: str) -> None:
+        barrier.wait()
+        try:
+            lock.acquire(owner)
+            results[owner] = True
+        except LockHeldError:
+            results[owner] = False
+
+    threads = [threading.Thread(target=contend, args=(f"b{i}",)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(results.values()) == 1
+
+
 def test_release_wrong_owner_is_noop(tmp_path):
     lock = Lock(str(tmp_path / "y.lock"), ttl_s=10)
     lock.acquire("a")
