@@ -1101,6 +1101,10 @@ QUERIES.update(EXT_QUERIES)
 # First block: never driver-gated through r2; second block: gated
 # (green) in r1 only; tail: green in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
+    # new in r3 (never gated)
+    "cep_user_agent_tool",
+    "tpch_q12",
+    "tpch_q19",
     # never gated (r1, r2)
     "multimodal_resize",
     "multimodal_frames",

@@ -183,8 +183,10 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing over mapInPandas (1 binary in → smaller
     binary out, 16×4). The resample kernel is the deterministic fake
     (cycle payload bytes); the oracle reproduces the exact output bytes
-    via repeat+substring and compares md5 — so batch shape, size
-    accounting and byte handling are all correctness-gated."""
+    via BLOB repeat + hex-string slicing and compares md5-of-hex — all
+    arithmetic in OCTETS on both engines, so non-ASCII text (where
+    DuckDB's VARCHAR substring counts characters, not bytes) stays
+    byte-exact."""
     from dstream_spark.functions.multimodal import resize_images
 
     r = resize_images(_media(spark, sf_dir), w=16, h=4)
@@ -194,7 +196,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_w",
         "out_h",
         F.length("resized").cast("int").alias("n_resized"),
-        F.md5("resized").alias("md5_resized"),
+        F.md5(F.hex("resized")).alias("md5_resized"),
     )
 
 
@@ -202,12 +204,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over mapInPandas (1 row in → n_frames
     rows out — the row-expanding shape video decode needs): 4 evenly
     spaced 16-byte windows per payload, offsets and frame bytes both
-    oracle-checked."""
+    oracle-checked (md5 over the HEX of the window: hex-string offsets
+    are 2× byte offsets on both engines, so the comparison is
+    octet-exact even for non-ASCII text)."""
     from dstream_spark.functions.multimodal import sample_frames
 
     fr = sample_frames(_media(spark, sf_dir), n_frames=4, frame_bytes=16)
     return fr.select(
-        "media_id", "frame_idx", "frame_offset", F.md5("frame").alias("md5_frame")
+        "media_id", "frame_idx", "frame_offset", F.md5(F.hex("frame")).alias("md5_frame")
     )
 
 
@@ -445,14 +449,114 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc()).limit(50)
 
 
-def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the fixture (no l_shipmode/l_commitdate:
+    l_linestatus plays shipmode, 'late' = shipped >60 days after the
+    order date): per linestatus, urgent-priority vs other line counts.
+    The join filter lands BEFORE the aggregate so the shuffle carries
+    only late lines; priority classification is a codegen'd CASE."""
+    register_tables(spark, sf_dir, ("lineitem", "orders"))
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (no containers/shipmode in the fixture):
+    revenue from an OR-of-ANDs predicate over three (brand, size range,
+    quantity range) disjuncts — the pushdown showcase: the whole
+    disjunction folds into the scans (PushedFilters on p_brand/p_size,
+    quantity bounds), and the join is broadcast (part is the small
+    side). Revenue via exact cents (the money convention)."""
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    li = spark.table("lineitem")
+    p = spark.table("part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    cents = F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5).cast(
+        "long"
+    )
+    return j.filter(disj).agg((F.sum(cents) / 100.0).alias("revenue"))
+
+
+def q_cep_user_agent_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence pattern (MATCH_RECOGNIZE analog): within one
+    conversation, detect user → agent → tool-call in three CONSECUTIVE
+    turns with the whole sequence inside 18 h (the fixture's turn
+    cadence is hours; a production gap would be seconds) — the 'agent
+    acted on a user request with a tool' motif. Expressed as two lead()
+    windows
+    over (conv_id, turn_idx): pattern matching over ordered per-key
+    sequences is a window-function scan (one shuffle on conv_id, no
+    self-joins), which is exactly how it stays linear at 10^12 turns."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    seq = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        epoch.alias("t0"),
+        F.lead("role", 1).over(w).alias("role1"),
+        F.lead("tool", 2).over(w).alias("tool2"),
+        F.lead(epoch, 2).over(w).alias("t2"),
+    )
+    return seq.filter(
+        (F.col("role") == "user")
+        & (F.col("role1") == "agent")
+        & F.col("tool2").isNotNull()
+        & (F.col("t2") - F.col("t0") <= 64800)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("user_turn"),
+        F.col("tool2").alias("tool"),
+        (F.col("t2") - F.col("t0")).alias("span_s"),
+    )
+
+
+NEAR_DUP_MAX_ROWS = 100_000  # O(n²) verifier refuses full corpora
+
+
+def q_emb_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: all pairs above a
-    similarity threshold (brute-force exact — the verifier for any
-    ANN/LSH blocking scheme)."""
+    similarity threshold. VERIFIER-ONLY: brute-force O(n²) by design —
+    it exists to measure the recall of the LSH/IVF blocking paths
+    (emb_lsh_pairs / emb_ivf_topk) on a SAMPLE. It refuses corpora
+    above NEAR_DUP_MAX_ROWS unless force=True: at full-corpus scale
+    use the banded paths, never this."""
     from dstream_spark.functions.similarity import cosine_with_norms, l2_norm
 
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
+    if not force:
+        n = e.count()
+        if n > NEAR_DUP_MAX_ROWS:
+            raise ValueError(
+                f"emb_near_dup_pairs is the O(n²) recall VERIFIER; corpus has "
+                f"{n} rows (> {NEAR_DUP_MAX_ROWS}). Verify on a sample, or use "
+                "emb_lsh_pairs / emb_ivf_topk for the full corpus "
+                "(force=True to override)."
+            )
     a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va")).withColumn(
         "_na", l2_norm(F.col("va"))
     )
@@ -763,21 +867,21 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
        CAST(16 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
        CAST(64 AS INT) AS n_resized,
-       md5(substring(repeat(text, CAST(CEIL(64.0 / octet_length(encode(text))) AS INT)), 1, 64)) AS md5_resized
+       md5(substring(hex(repeat(encode(text), CAST(CEIL(64.0 / octet_length(encode(text))) AS INT))), 1, 128)) AS md5_resized
 FROM documents""",
     "multimodal_frames": """
 WITH f AS (
-  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS ol,
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS ol,
          unnest(generate_series(0, 3)) AS i
   FROM documents
 ), o AS (
-  SELECT media_id, text, CAST(i AS INT) AS frame_idx,
+  SELECT media_id, hx, CAST(i AS INT) AS frame_idx,
          CAST(least(i * greatest(1, CAST(FLOOR((ol - 16) / 3.0) AS INT)),
                     greatest(0, ol - 16)) AS INT) AS frame_offset
   FROM f
 )
 SELECT media_id, frame_idx, frame_offset,
-       md5(substring(text, frame_offset + 1, 16)) AS md5_frame
+       md5(substring(hx, frame_offset * 2 + 1, 32)) AS md5_frame
 FROM o""",
     "envelope_projection": _t_sql(
         """
@@ -857,6 +961,34 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey ASC
 LIMIT 50""",
+    "cep_user_agent_tool": _t_sql(
+        """
+, seq AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0,
+         lead(role, 1) OVER w AS role1,
+         lead(tool, 2) OVER w AS tool2,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS user_turn, tool2 AS tool, t2 - t0 AS span_s
+FROM seq
+WHERE role = 'user' AND role1 = 'agent' AND tool2 IS NOT NULL AND t2 - t0 <= 64800"""
+    ),
+    "tpch_q12": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL '60 days'
+GROUP BY 1 ORDER BY 1""",
+    "tpch_q19": """
+SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)""",
     "tpch_q14": """
 WITH j AS (
   SELECT CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS cents, p_type
@@ -1001,10 +1133,24 @@ EXT_QUERIES: dict[str, Query] = {
         "REAL stream-stream watermarked interval join vs batch oracle",
     ),
     "tpch_q4": Query(q_tpch_q4, EXT_ORACLES["tpch_q4"]),
+    "tpch_q12": Query(q_tpch_q12, EXT_ORACLES["tpch_q12"]),
+    "tpch_q19": Query(
+        q_tpch_q19, EXT_ORACLES["tpch_q19"],
+        "OR-of-ANDs predicate pushdown + broadcast join showcase",
+    ),
+    "cep_user_agent_tool": Query(
+        q_cep_user_agent_tool, EXT_ORACLES["cep_user_agent_tool"],
+        "CEP 3-step sequence pattern (user→agent→tool ≤18h) as a "
+        "single window-function scan — linear at 10^12 turns",
+    ),
     "tpch_q10": Query(q_tpch_q10, EXT_ORACLES["tpch_q10"]),
     "tpch_q14": Query(q_tpch_q14, EXT_ORACLES["tpch_q14"]),
     "tpch_q18": Query(q_tpch_q18, EXT_ORACLES["tpch_q18"]),
-    "emb_near_dup_pairs": Query(q_emb_near_dup_pairs, EXT_ORACLES["emb_near_dup_pairs"]),
+    "emb_near_dup_pairs": Query(
+        q_emb_near_dup_pairs, EXT_ORACLES["emb_near_dup_pairs"],
+        "VERIFIER-ONLY: O(n²) exact recall check for the LSH/IVF paths; "
+        f"refuses > {NEAR_DUP_MAX_ROWS} rows unless force=True",
+    ),
     "emb_ivf_topk": Query(q_emb_ivf_topk, EXT_ORACLES["emb_ivf_topk"]),
     "docs_bpe_tokens": Query(q_docs_bpe_tokens, EXT_ORACLES["docs_bpe_tokens"]),
     "emb_lsh_buckets": Query(q_emb_lsh_buckets, EXT_ORACLES["emb_lsh_buckets"]),

@@ -7,19 +7,33 @@ plus a commit-marker protocol:
 
 1. foreachBatch gives (batch_df, batch_id); batch_id is stable across
    replays of the same epoch.
-2. If this batch_id already has a lineage commit marker → replay →
-   skip entirely (idempotent).
+2. If this batch_id already has a commit marker → replay → skip
+   entirely (idempotent).
 3. Batch rows are deduped on (conv_id, turn_idx), hash-partitioned on
    conv_id and sorted within partitions by (conv_id, turn_idx) — the
    ordered-delivery contract (reference relay order,
    pkg/executor/providers.go:234-261) restated for a parallel engine:
    stable order WITHIN each conversation.
-4. Data files land under data/batch_id=<id>/ first; the per-partition
-   lineage file (partition_id, batch_id, max_conv_id, max_turn_idx,
-   updated_at — the cdc_offsets shape, docs/capability-inventory.md:
-   179-183) is renamed into _lineage/ LAST. The lineage marker IS the
-   commit: readers only see batches with markers, so a crash between
-   data write and marker write leaves invisible orphans, not dups.
+4. Data files land first; the per-partition lineage (partition_id,
+   batch_id, max_conv_id, max_turn_idx, updated_at — the cdc_offsets
+   shape, docs/capability-inventory.md:179-183) is committed LAST.
+   The commit marker IS the transaction: readers only see batches with
+   markers, so a crash between data write and marker leaves invisible
+   orphans, not dups.
+
+HOW a finished batch becomes visible is a pluggable CommitProtocol:
+
+- ``rename`` (default, local FS): data+lineage staged to tmp dirs and
+  atomically renamed into place; the lineage-dir rename is the commit
+  point. Depends on atomic directory rename — POSIX only.
+- ``marker`` (object-store-safe): every attempt writes to a UNIQUE
+  attempt directory that is never renamed; the commit point is a
+  put-if-absent of a small JSON marker naming the committed attempt.
+  No operation relies on atomic rename of multi-file directories —
+  only single-object put-if-absent (S3/GCS: If-None-Match PUT) and,
+  for compaction's pointer swap, single-object replace (conditional
+  PUT If-Match). This is the same pointer-swap design as an Iceberg
+  snapshot commit.
 
 This is merge-on-read: appends + read-side latest-version resolution
 (apply_changes), the same strategy as Iceberg MoR MERGE. On a real
@@ -31,6 +45,7 @@ sort-within-partition, lineage in the same transaction) is unchanged.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -40,6 +55,205 @@ from pyspark.sql import functions as F
 
 from dstream_spark.operators.cdc import apply_changes
 from dstream_spark.operators.dedup import dedup_latest
+
+# lineage updated_at = this epoch + batch_id: deterministic, so a
+# replayed epoch produces byte-identical lineage (current_timestamp
+# would differ across replays of the same batch)
+LINEAGE_TS0 = 1_700_000_000
+
+
+def _put_if_absent(path: str, payload: dict) -> bool:
+    """Atomic create-if-absent of a fully-written small file (os.link
+    of a complete tmp file; object-store analog: If-None-Match PUT).
+    False = an object already exists at ``path``."""
+    tmp = f"{path}.put-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+class RenameCommitProtocol:
+    """Local-FS commit: stage to tmp dirs, atomic directory rename into
+    place; the lineage dir's rename is the commit marker (it lands
+    LAST). Correct only where directory rename is atomic."""
+
+    name = "rename"
+
+    def __init__(self, table_dir: str):
+        self.data_dir = os.path.join(table_dir, "data")
+        self.lineage_dir = os.path.join(table_dir, "_lineage")
+
+    def init(self) -> None:
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    def committed_batches(self) -> set[int]:
+        if not os.path.isdir(self.lineage_dir):
+            return set()
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.lineage_dir)
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
+        }
+
+    def publish(self, batch_id: int, write_data, write_lineage) -> None:
+        data_path = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        lineage_path = os.path.join(self.lineage_dir, f"batch_id={batch_id}")
+        tmp_data = data_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        tmp_lin = lineage_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        write_data(tmp_data)
+        write_lineage(tmp_lin)
+        # two renames; marker (lineage) rename LAST = the commit point
+        if os.path.exists(data_path):
+            shutil.rmtree(data_path)
+        os.rename(tmp_data, data_path)
+        os.rename(tmp_lin, lineage_path)
+
+    def data_read(self, spark: SparkSession, batch_ids: set[int]) -> DataFrame:
+        """Committed data paths. A marker whose data dir is mid-swap
+        (compact crashed between the aside rename and the snapshot
+        rename) resolves to its ``.old`` aside — a marker therefore
+        never points at nothing."""
+        paths = []
+        for b in sorted(batch_ids):
+            p = os.path.join(self.data_dir, f"batch_id={b}")
+            paths.append(p if os.path.exists(p) else p + ".old")
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    def lineage_read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.lineage_dir).parquet(self.lineage_dir)
+
+    def swap_base(self, base_id: int, retire_ids, write_data, write_lineage) -> None:
+        """Replace base_id's contents with a new snapshot and retire
+        the superseded batches. Safe swap order — at every step a
+        reader sees a consistent set (the new base is a superset;
+        latest-version dedup absorbs the temporary overlap)."""
+        tmp_data = os.path.join(self.data_dir, f".compact-{uuid.uuid4().hex[:8]}")
+        write_data(tmp_data)
+        tmp_lin = os.path.join(self.lineage_dir, f".compact-{uuid.uuid4().hex[:8]}")
+        write_lineage(tmp_lin, tmp_data)
+        base_data = os.path.join(self.data_dir, f"batch_id={base_id}")
+        aside = base_data + ".old"
+        # 1. move old base data aside (data_read serves the aside while
+        #    the base dir is absent, so the mid-swap window is readable;
+        #    existence guards make a re-run after a crash idempotent)
+        if os.path.exists(base_data):
+            shutil.rmtree(aside, ignore_errors=True)  # stale aside from a crashed run
+            os.rename(base_data, aside)
+        os.rename(tmp_data, base_data)  # 2. new full snapshot in place
+        base_marker = os.path.join(self.lineage_dir, f"batch_id={base_id}")
+        old_marker_aside = base_marker + ".old"
+        if os.path.exists(base_marker):
+            shutil.rmtree(old_marker_aside, ignore_errors=True)
+            os.rename(base_marker, old_marker_aside)
+        os.rename(tmp_lin, base_marker)  # 3. marker now describes the snapshot
+        for b in retire_ids:  # 4. retire superseded markers, THEN their data
+            shutil.rmtree(os.path.join(self.lineage_dir, f"batch_id={b}"), ignore_errors=True)
+        for b in retire_ids:
+            shutil.rmtree(os.path.join(self.data_dir, f"batch_id={b}"), ignore_errors=True)
+        shutil.rmtree(aside, ignore_errors=True)
+        shutil.rmtree(old_marker_aside, ignore_errors=True)
+
+
+class MarkerCommitProtocol:
+    """Object-store-safe commit: attempts write to unique directories
+    that are NEVER renamed or mutated; visibility = a small JSON marker
+    in ``_commits/`` naming the committed attempt, created with
+    put-if-absent. Crash before the marker ⇒ an unreferenced attempt
+    dir (invisible garbage); a racing duplicate commit loses the
+    put-if-absent and deletes its own attempt. Compaction re-points the
+    base marker via single-object replace (conditional PUT analog) —
+    the Iceberg snapshot-pointer swap."""
+
+    name = "marker"
+
+    def __init__(self, table_dir: str):
+        self.data_dir = os.path.join(table_dir, "data")
+        self.lineage_dir = os.path.join(table_dir, "_lineage")
+        self.commits_dir = os.path.join(table_dir, "_commits")
+
+    def init(self) -> None:
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    def _marker_path(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, f"batch_id={batch_id}.json")
+
+    def committed_batches(self) -> set[int]:
+        if not os.path.isdir(self.commits_dir):
+            return set()
+        out = set()
+        for f in os.listdir(self.commits_dir):
+            if f.startswith("batch_id=") and f.endswith(".json"):
+                mid = f[len("batch_id="):-len(".json")]
+                if mid.isdigit():
+                    out.add(int(mid))
+        return out
+
+    def _attempt_paths(self, batch_id: int) -> tuple[str, str]:
+        att = uuid.uuid4().hex[:8]
+        return (
+            os.path.join(self.data_dir, f"batch_id={batch_id}", f"attempt-{att}"),
+            os.path.join(self.lineage_dir, f"batch_id={batch_id}", f"attempt-{att}"),
+        )
+
+    def _marker(self, batch_id: int) -> dict:
+        return json.load(open(self._marker_path(batch_id)))
+
+    def publish(self, batch_id: int, write_data, write_lineage) -> None:
+        data_path, lin_path = self._attempt_paths(batch_id)
+        write_data(data_path)
+        write_lineage(lin_path)
+        committed = _put_if_absent(
+            self._marker_path(batch_id),
+            {"batch_id": batch_id, "data": data_path, "lineage": lin_path},
+        )
+        if not committed:
+            # another writer (or an earlier replay) committed this
+            # epoch first — our attempt is unreferenced garbage
+            shutil.rmtree(data_path, ignore_errors=True)
+            shutil.rmtree(lin_path, ignore_errors=True)
+
+    def data_read(self, spark: SparkSession, batch_ids: set[int]) -> DataFrame:
+        paths = [self._marker(b)["data"] for b in sorted(batch_ids)]
+        return spark.read.parquet(*paths)
+
+    def lineage_read(self, spark: SparkSession) -> DataFrame:
+        paths = [self._marker(b)["lineage"] for b in sorted(self.committed_batches())]
+        return spark.read.parquet(*paths)
+
+    def swap_base(self, base_id: int, retire_ids, write_data, write_lineage) -> None:
+        data_path, lin_path = self._attempt_paths(base_id)
+        write_data(data_path)
+        write_lineage(lin_path, data_path)
+        old = self._marker(base_id)
+        # pointer swap: single-object atomic replace (If-Match PUT)
+        tmp = self._marker_path(base_id) + f".swap-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": base_id, "data": data_path, "lineage": lin_path}, f)
+        os.replace(tmp, self._marker_path(base_id))
+        # retire superseded markers FIRST (readers stop resolving them),
+        # then the now-unreferenced data
+        for b in retire_ids:
+            try:
+                os.unlink(self._marker_path(b))
+            except FileNotFoundError:
+                pass
+        for b in retire_ids:
+            shutil.rmtree(os.path.join(self.data_dir, f"batch_id={b}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(self.lineage_dir, f"batch_id={b}"), ignore_errors=True)
+        shutil.rmtree(old["data"], ignore_errors=True)
+        shutil.rmtree(old["lineage"], ignore_errors=True)
+
+
+PROTOCOLS = {"rename": RenameCommitProtocol, "marker": MarkerCommitProtocol}
 
 
 class MergeSink:
@@ -53,25 +267,22 @@ class MergeSink:
         order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         version_col: str | None = None,
         n_partitions: int = 8,
+        protocol: str = "rename",
     ):
         self.table_dir = table_dir
-        self.data_dir = os.path.join(table_dir, "data")
-        self.lineage_dir = os.path.join(table_dir, "_lineage")
+        self.protocol = PROTOCOLS[protocol](table_dir)
+        self.data_dir = self.protocol.data_dir
+        self.lineage_dir = self.protocol.lineage_dir
         self.keys = keys
         self.partition_key = partition_key
         self.order_cols = order_cols
         self.version_col = version_col
         self.n_partitions = n_partitions
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.lineage_dir, exist_ok=True)
+        self.protocol.init()
 
     # -- commit log -------------------------------------------------
     def committed_batches(self) -> set[int]:
-        return {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.lineage_dir)
-            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
-        }
+        return self.protocol.committed_batches()
 
     # -- the foreachBatch body ---------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -93,62 +304,61 @@ class MergeSink:
         bdf = bdf.withColumn("_partition_id", F.spark_partition_id())
         bdf.persist()
         try:
-            data_path = os.path.join(self.data_dir, f"batch_id={int(batch_id)}")
-            tmp_data = data_path + f".tmp-{uuid.uuid4().hex[:8]}"
-            bdf.drop("_partition_id").write.mode("overwrite").parquet(tmp_data)
-            # lineage BEFORE exposing data: build it from the same cached batch
-            lineage = bdf.groupBy("_partition_id").agg(
-                F.max(self.partition_key).alias("max_conv_id"),
-                F.max(self.keys[-1]).alias("max_turn_idx"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.current_timestamp().alias("updated_at"),
-            ).withColumnsRenamed({"_partition_id": "partition_id"}).withColumn(
-                "batch_id", F.lit(int(batch_id)).cast("long")
+            lineage = self._lineage_of(bdf.groupBy("_partition_id"), int(batch_id)) \
+                .withColumnsRenamed({"_partition_id": "partition_id"})
+            self.protocol.publish(
+                int(batch_id),
+                lambda p: bdf.drop("_partition_id").write.mode("overwrite").parquet(p),
+                lambda p: lineage.coalesce(1).write.mode("overwrite").parquet(p),
             )
-            lineage_path = os.path.join(self.lineage_dir, f"batch_id={int(batch_id)}")
-            tmp_lin = lineage_path + f".tmp-{uuid.uuid4().hex[:8]}"
-            lineage.coalesce(1).write.mode("overwrite").parquet(tmp_lin)
-            # two renames; marker (lineage) rename LAST = the commit point
-            if os.path.exists(data_path):
-                shutil.rmtree(data_path)
-            os.rename(tmp_data, data_path)
-            os.rename(tmp_lin, lineage_path)
         finally:
             bdf.unpersist()
 
+    def _lineage_of(self, grouped, batch_id: int) -> DataFrame:
+        return grouped.agg(
+            F.max(self.partition_key).alias("max_conv_id"),
+            F.max(self.keys[-1]).alias("max_turn_idx"),
+            F.count(F.lit(1)).alias("n_rows"),
+            # deterministic (epoch-derived): replays of the same batch
+            # produce byte-identical lineage
+            F.timestamp_seconds(F.lit(LINEAGE_TS0 + batch_id)).alias("updated_at"),
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+
     # -- readers ------------------------------------------------------
     def read_table(self, spark: SparkSession) -> DataFrame:
-        """Committed rows only, latest version per key. A marker whose
-        data dir is mid-swap (compact crashed between the aside rename
-        and the snapshot rename) resolves to its ``.old`` aside — a
-        marker therefore never points at nothing."""
+        """Committed rows only, latest version per key. Path resolution
+        can race a concurrent compact()'s final cleanup (the resolved
+        path vanishes before spark.read lists it) — re-resolve and
+        retry once; the post-compact committed set is self-consistent."""
         committed = self.committed_batches()
         if not committed:
             return spark.createDataFrame([], schema="conv_id string")
-        paths = []
-        for b in sorted(committed):
-            p = os.path.join(self.data_dir, f"batch_id={b}")
-            paths.append(p if os.path.exists(p) else p + ".old")
-        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        try:
+            df = self.protocol.data_read(spark, committed)
+        except Exception:
+            committed = self.committed_batches()
+            if not committed:
+                return spark.createDataFrame([], schema="conv_id string")
+            df = self.protocol.data_read(spark, committed)
         if self.version_col and self.version_col in df.columns:
             return apply_changes(df, self.keys, self.version_col).drop("batch_id")
         w_cols = list(self.keys)
         return df.dropDuplicates(w_cols).drop("batch_id")
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.lineage_dir).parquet(self.lineage_dir)
+        return self.protocol.lineage_read(spark)
 
     # -- maintenance ---------------------------------------------------
     def compact(self, spark: SparkSession) -> int:
         """Fold all committed batches into one base batch (latest
         version per key), then drop the originals. Bounds read_table's
-        file listing on a long-running stream — the analog of Iceberg
+        path listing on a long-running stream — the analog of Iceberg
         snapshot expiration / rewrite_data_files. Must run under the
         pipeline's single-writer lock (streaming/pipeline.py): the
-        commit-marker protocol makes a crash mid-compaction safe (the
-        new base's marker is renamed in before the old markers are
-        removed; a reader sees either the old set or old+new, and
-        latest-version dedup makes old+new harmless).
+        commit protocol makes a crash mid-compaction safe (the new
+        base is committed before the old batches are removed; a reader
+        sees either the old set or old+new, and latest-version dedup
+        makes old+new harmless).
 
         Returns the id of the new base batch.
         """
@@ -160,59 +370,34 @@ class MergeSink:
         snapshot = snapshot.repartition(self.n_partitions, self.partition_key).sortWithinPartitions(
             *self.order_cols
         )
-        tmp_data = os.path.join(self.data_dir, f".compact-{uuid.uuid4().hex[:8]}")
-        snapshot.write.mode("overwrite").parquet(tmp_data)
-        lineage = (
-            spark.read.parquet(tmp_data)
-            .groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.max(self.partition_key).alias("max_conv_id"),
-                F.max(self.keys[-1]).alias("max_turn_idx"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.current_timestamp().alias("updated_at"),
+        retire = [b for b in committed if b != base_id]
+
+        def write_lineage(lin_path: str, data_path: str) -> None:
+            lineage = self._lineage_of(
+                spark.read.parquet(data_path).groupBy(
+                    F.spark_partition_id().alias("partition_id")
+                ),
+                int(base_id),
             )
-            .withColumn("batch_id", F.lit(int(base_id)).cast("long"))
+            lineage.coalesce(1).write.mode("overwrite").parquet(lin_path)
+
+        self.protocol.swap_base(
+            int(base_id),
+            retire,
+            lambda p: snapshot.write.mode("overwrite").parquet(p),
+            write_lineage,
         )
-        tmp_lin = os.path.join(self.lineage_dir, f".compact-{uuid.uuid4().hex[:8]}")
-        lineage.coalesce(1).write.mode("overwrite").parquet(tmp_lin)
-        # safe swap order — at every step a reader sees a consistent
-        # set (new base is a superset; latest-version dedup absorbs the
-        # temporary overlap with old batches):
-        base_data = os.path.join(self.data_dir, f"batch_id={base_id}")
-        aside = base_data + ".old"
-        # 1. move old base data aside (read_table serves the aside while
-        #    the base dir is absent, so the mid-swap window is readable;
-        #    existence guards make a re-run after a crash in that window
-        #    idempotent)
-        if os.path.exists(base_data):
-            shutil.rmtree(aside, ignore_errors=True)  # stale aside from a crashed run
-            os.rename(base_data, aside)
-        os.rename(tmp_data, base_data)  # 2. new full snapshot in place
-        base_marker = os.path.join(self.lineage_dir, f"batch_id={base_id}")
-        old_marker_aside = base_marker + ".old"
-        if os.path.exists(base_marker):
-            shutil.rmtree(old_marker_aside, ignore_errors=True)
-            os.rename(base_marker, old_marker_aside)
-        os.rename(tmp_lin, base_marker)  # 3. marker now describes the snapshot
-        for b in committed:  # 4. retire superseded markers, THEN their data
-            if b != base_id:
-                shutil.rmtree(os.path.join(self.lineage_dir, f"batch_id={b}"), ignore_errors=True)
-        for b in committed:
-            if b != base_id:
-                shutil.rmtree(os.path.join(self.data_dir, f"batch_id={b}"), ignore_errors=True)
-        shutil.rmtree(aside, ignore_errors=True)
-        shutil.rmtree(old_marker_aside, ignore_errors=True)
         return int(base_id)
 
     # -- lifecycle verbs (K6 analog: init/plan/status/destroy) --------
     def init(self) -> None:
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.lineage_dir, exist_ok=True)
+        self.protocol.init()
 
     def status(self) -> dict:
         committed = self.committed_batches()
         return {
             "table_dir": self.table_dir,
+            "protocol": self.protocol.name,
             "committed_batches": len(committed),
             "max_batch_id": max(committed) if committed else None,
         }

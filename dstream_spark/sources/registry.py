@@ -9,6 +9,13 @@ maps source names → readStream builders over Spark-native sources:
   one commit, maxFilesPerTrigger = the dynamic batch-sizing knob,
   docs/capability-inventory.md:136 S4). With Iceberg jars present,
   swap for ``spark.readStream.format("iceberg")``.
+
+  Schema drift mid-stream (the reference's late-bound FieldSchema,
+  proto/plugin.proto:13-19) is DELIBERATE, pinned by
+  tests/test_schema_evolution.py: a column added upstream is projected
+  away; a column dropped upstream null-fills; an incompatible type
+  change fails the micro-batch loudly. The pinned schema is the
+  contract — downstream shape never drifts silently.
 - ``rate``: the counter test source (readme.md:44-49 S5).
 - ``memory_batches``: deterministic list-of-pandas batches for tests.
 """

@@ -13,9 +13,37 @@ is idempotent (Pipeline.run_adaptive).
 
 Row-based targeting (not wall-clock) keeps the controller
 deterministic; durations vary run-to-run, row counts don't.
+
+Byte mode (``target_bytes``): the reference's budget is BYTES — it
+resamples the observed average row size and sizes batches to the SKU
+limit (256KB/1MB, docs/capability-inventory.md:136). The analog:
+``observed_row_bytes`` reads the feed's parquet FOOTERS (driver-side
+metadata only, no scan) for on-disk bytes/row, and the controller
+converts the byte budget into an effective row target per segment —
+the same resample-then-resize loop.
 """
 
 from __future__ import annotations
+
+import glob
+import os
+
+
+def observed_row_bytes(path: str, sample_files: int = 16) -> float | None:
+    """Average on-disk bytes per row over (up to) the first
+    ``sample_files`` parquet files under ``path`` — footer metadata
+    reads only (num_rows), no data scan. None = nothing to sample."""
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))[:sample_files]
+    tot_bytes = tot_rows = 0
+    for f in files:
+        try:
+            tot_bytes += os.path.getsize(f)
+            tot_rows += pq.ParquetFile(f).metadata.num_rows
+        except OSError:
+            continue  # file replaced/retired mid-sample
+    return (tot_bytes / tot_rows) if tot_rows else None
 
 
 def _progress_field(p, name: str):
@@ -28,19 +56,32 @@ def _progress_field(p, name: str):
 
 class BatchSizeController:
     """Recommend maxFilesPerTrigger targeting ``target_rows`` input
-    rows per micro-batch, clamped to [min_files, max_files]."""
+    rows — or, when ``target_bytes`` is set, a BYTE budget converted
+    through the observed average row size — per micro-batch, clamped
+    to [min_files, max_files]."""
 
     def __init__(
         self,
         target_rows: int = 500_000,
         min_files: int = 1,
         max_files: int = 256,
+        target_bytes: int | None = None,
     ):
         self.target_rows = target_rows
+        self.target_bytes = target_bytes
         self.min_files = min_files
         self.max_files = max_files
 
-    def recommend(self, progresses, current_files: int) -> int:
+    def effective_target_rows(self, avg_row_bytes: float | None) -> int:
+        """Byte budget → row target via the resampled row size; falls
+        back to the row target when no size observation exists."""
+        if self.target_bytes and avg_row_bytes and avg_row_bytes > 0:
+            return max(1, int(self.target_bytes / avg_row_bytes))
+        return self.target_rows
+
+    def recommend(
+        self, progresses, current_files: int, avg_row_bytes: float | None = None
+    ) -> int:
         """New files-per-trigger from a segment's batch progress list.
         Batches with zero input (idle ticks) are ignored; with no
         signal the current setting stands."""
@@ -54,5 +95,5 @@ class BatchSizeController:
         rows_per_file = (sum(rows) / len(rows)) / current_files
         if rows_per_file <= 0:
             return current_files
-        want = round(self.target_rows / rows_per_file)
+        want = round(self.effective_target_rows(avg_row_bytes) / rows_per_file)
         return max(self.min_files, min(self.max_files, int(want) or 1))

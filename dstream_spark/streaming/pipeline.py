@@ -275,6 +275,11 @@ class Pipeline:
         (docs/capability-inventory.md:136). Restarting from the same
         checkpoint is exactly-once: offsets + idempotent sink.
 
+        In byte mode (controller.target_bytes set) each segment also
+        RESAMPLES the feed's observed bytes/row from parquet footers —
+        the reference's hourly average-row-size resample — and the
+        controller converts the byte budget through it.
+
         Returns the per-segment sizing history."""
         history: list[dict] = []
         for seg in range(segments):
@@ -282,13 +287,19 @@ class Pipeline:
             q.awaitTermination()
             progresses = list(q.recentProgress)
             cur = int(self.conf["source"].get("max_files_per_trigger", 1))
-            nxt = controller.recommend(progresses, cur)
+            avg_row_bytes = None
+            if getattr(controller, "target_bytes", None):
+                from dstream_spark.streaming.adaptive import observed_row_bytes
+
+                avg_row_bytes = observed_row_bytes(self.conf["source"]["path"])
+            nxt = controller.recommend(progresses, cur, avg_row_bytes=avg_row_bytes)
             self.stop(owner=owner)
             history.append(
                 {
                     "segment": seg,
                     "files_per_trigger": cur,
                     "batches": len(progresses),
+                    "avg_row_bytes": avg_row_bytes,
                     "next_files_per_trigger": nxt,
                 }
             )

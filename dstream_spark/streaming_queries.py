@@ -63,7 +63,10 @@ def _write_feed(
     """
     t = transcripts_from_events(spark, sf_dir)
     if split_by_turn:
-        max_turn = t.agg(F.max("turn_idx")).first()[0] + 1
+        max_turn_val = t.agg(F.max("turn_idx")).first()[0]
+        if max_turn_val is None:
+            raise ValueError(f"empty transcripts source under {sf_dir}: nothing to feed")
+        max_turn = max_turn_val + 1
         per = max(1, (max_turn + n_batches - 1) // n_batches)
         sliced = t.withColumn(
             "_slice", F.least(F.lit(n_batches - 1), (F.col("turn_idx") / per).cast("int"))

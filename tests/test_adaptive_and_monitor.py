@@ -30,6 +30,58 @@ def test_controller_math():
     ) == 1
 
 
+def test_controller_byte_budget_math():
+    """Byte mode: the budget is converted through the observed average
+    row size (the reference's 256KB/1MB SKU-limit resample,
+    docs/capability-inventory.md:136)."""
+    c = BatchSizeController(target_rows=999, target_bytes=10_000, min_files=1, max_files=64)
+    # 10_000 B budget at 50 B/row → 200-row target; 100 rows/batch at
+    # 2 files → 50 rows/file → want 4 files
+    assert c.effective_target_rows(avg_row_bytes=50.0) == 200
+    assert c.recommend([{"numInputRows": 100}], 2, avg_row_bytes=50.0) == 4
+    # no size observation → falls back to the row target
+    assert c.effective_target_rows(None) == 999
+    # clamps still apply
+    assert c.recommend([{"numInputRows": 1}], 1, avg_row_bytes=1.0) == 64
+
+
+def test_adaptive_byte_budget_converges(spark, tmp_path):
+    """run_adaptive in byte mode: segment 1 observes bytes/row from the
+    feed's parquet footers and resizes files-per-trigger so a
+    micro-batch lands within the byte budget."""
+    import glob
+
+    pdf = generate_transcripts(n_convs=6, turns_per_conv=10, seed=31)
+    feed = str(tmp_path / "feed")
+    write_changefeed_batches(spark, pdf, feed, n_batches=6)
+    files = sorted(glob.glob(os.path.join(feed, "*.parquet")))
+    avg_file_bytes = sum(os.path.getsize(f) for f in files) / len(files)
+    target_bytes = int(3.2 * avg_file_bytes)  # budget ≈ 3 files/trigger
+
+    sink = MergeSink(str(tmp_path / "tbl"))
+    pipe = Pipeline(
+        spark,
+        {
+            "name": "adaptive_bytes",
+            "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    pipe.init()
+    ctrl = BatchSizeController(target_bytes=target_bytes, min_files=1, max_files=16)
+    hist = pipe.run_adaptive(ctrl, segments=1)
+    assert hist[0]["avg_row_bytes"] is not None and hist[0]["avg_row_bytes"] > 0
+    nxt = hist[0]["next_files_per_trigger"]
+    # converged: the recommended trigger size lands within the budget
+    # (±1 file of the exact bytes/files ratio; file sizes are uniform)
+    assert abs(nxt - target_bytes / avg_file_bytes) <= 1.0
+    assert sink.read_table(spark).count() == len(
+        pdf.drop_duplicates(["conv_id", "turn_idx"])
+    )
+
+
 def test_adaptive_resize_across_segments(spark, tmp_path):
     """Segment 1 runs at 1 file/trigger, the controller scales the
     setting up from observed rows/file; segment 2 consumes newly
