@@ -28,6 +28,7 @@ from dstream_spark.queries_base import (  # noqa: F401  (re-exported)
     ALL_TABLES,
     Query,
     _materialize,
+    fan_out,
     _t_sql,
     _transcripts,
 )
@@ -404,7 +405,7 @@ def q_docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
-    return dedup_text.jaccard_pairs(d, k=3, threshold=0.12)
+    return dedup_text.jaccard_pairs(fan_out(d), k=3, threshold=0.12)
 
 
 def q_docs_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,7 +416,7 @@ def q_docs_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the ratio."""
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
-    return dedup_text.jaccard_pairs(d, k=3, threshold=0.10, max_df=5)
+    return dedup_text.jaccard_pairs(fan_out(d), k=3, threshold=0.10, max_df=5)
 
 
 def q_docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,9 +426,18 @@ def q_docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash columns then reference the array column instead of
     # inlining split+transform+distinct 8× (8× less expression work;
     # measured 56s → ~7s at sf0.1)
-    sh = d.select("doc_id", dedup_text.word_shingles("text", 3).alias("sh"))
-    # docs shorter than the shingle size have no signature (both sides)
-    sig = sh.filter(F.size("sh") > 0).select("doc_id", *dedup_text.minhash_signature(F.col("sh")))
+    # docs shorter than the shingle size have no signature (both
+    # sides). The guard filters on the CHEAP equivalent predicate
+    # (token count >= k) BEFORE the shingle projection: filtering on
+    # size(sh) > 0 after it looks free but Catalyst pushes the
+    # predicate below the projection, re-deriving the whole shingle
+    # array per row just to test emptiness (the r2 bench regression,
+    # BENCH/NOTES.md). fan_out then spreads the md5 work across cores
+    # — the sf0.1 table is a single scan split (measured 3.3→1.2 s).
+    sh = fan_out(d.filter(F.size(F.split(F.col("text"), " ")) >= 3)).select(
+        "doc_id", dedup_text.word_shingles("text", 3).alias("sh")
+    )
+    sig = sh.select("doc_id", *dedup_text.minhash_signature(F.col("sh")))
     return dedup_text.lsh_bands(sig)
 
 
@@ -460,7 +470,7 @@ def q_docs_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
     cand = q_docs_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
-    sh = d.select(
+    sh = fan_out(d).select(
         "doc_id", dedup_text.word_shingles("text", 3).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
@@ -484,7 +494,7 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine — the same answer, measured equal)."""
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
-    return dedup_text.simhash_table(d)
+    return dedup_text.simhash_table(fan_out(d))
 
 
 def q_docs_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,7 +526,9 @@ def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
-    return similarity.cosine_topk(e.filter(F.col("vec_id") < 20), e, k=5)
+    # fan_out the CORPUS side (the dot-product work scales with it);
+    # the query side stays narrow — it is broadcast inside cosine_topk
+    return similarity.cosine_topk(e.filter(F.col("vec_id") < 20), fan_out(e), k=5)
 
 
 def q_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,7 +537,7 @@ def q_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    return similarity.ivf_assign(e, cents)
+    return similarity.ivf_assign(fan_out(e), cents)
 
 
 # ================================================================= #

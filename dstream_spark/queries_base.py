@@ -45,6 +45,30 @@ def _t_sql(body: str) -> str:
 IDENTITY_SQL = _t_sql("SELECT * FROM transcripts")
 
 
+def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Raise parallelism before a CPU-heavy derived projection.
+
+    Shingle/minhash/simhash/cosine stages are CPU-bound expression
+    work, so their task count should track CORES, not input bytes — but
+    Spark sizes scan partitions by bytes (maxPartitionBytes), so a
+    small file count (or an AQE-coalesced upstream) can leave the
+    heavy stage nearly serial: at sf0.1 the whole documents table is
+    one 0.6 MB split, and every md5 of every shingle ran on 1 of 32
+    cores (measured 3.3 s → 1.2 s from this helper alone).
+
+    Repartitions to defaultParallelism ONLY when the current plan has
+    fewer than ``min_fraction``× that many partitions. At 100 TB a
+    scan already yields thousands of splits, so this is a no-op there
+    — the shuffle it inserts is strictly a small-input artifact, and
+    it shuffles the (narrow) pre-projection rows, never derived
+    arrays."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+        return df
+    return df.repartition(target)
+
+
 def _materialize(df: DataFrame, tag: str) -> DataFrame:
     """Land a derived table in scratch parquet and read it back.
 

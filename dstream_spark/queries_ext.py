@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dstream_spark.fixtures.transcripts import register_tables
-from dstream_spark.queries_base import IDENTITY_SQL, Query, _t_sql, _transcripts
+from dstream_spark.queries_base import IDENTITY_SQL, Query, _t_sql, _transcripts, fan_out
 
 
 def q_asof_join_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,9 +557,9 @@ def q_emb_near_dup_pairs(
                 "emb_lsh_pairs / emb_ivf_topk for the full corpus "
                 "(force=True to override)."
             )
-    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va")).withColumn(
-        "_na", l2_norm(F.col("va"))
-    )
+    a = fan_out(e).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    ).withColumn("_na", l2_norm(F.col("va")))
     b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")).withColumn(
         "_nb", l2_norm(F.col("vb"))
     )
@@ -586,7 +586,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign(e, cents).select("vec_id", "c_id")
+    assigned = ivf_assign(fan_out(e), cents).select("vec_id", "c_id")
     vecs = assigned.join(e, "vec_id").select("vec_id", "c_id", "embedding").withColumn(
         "_n", l2_norm(F.col("embedding"))
     )
@@ -627,7 +627,7 @@ def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign(e, cents).select("vec_id", "c_id")
+    assigned = ivf_assign(fan_out(e), cents).select("vec_id", "c_id")
     vecs = assigned.join(e, "vec_id")
     dims = vecs.select(
         "c_id", F.posexplode(F.col("embedding")).alias("pos", "val")
@@ -716,7 +716,7 @@ def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = e.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("h_id"), F.col("embedding").alias("h_vec")
     )
-    return rp_lsh_assign(e, planes)
+    return rp_lsh_assign(fan_out(e), planes)
 
 
 def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
