@@ -26,6 +26,7 @@ from dstream_spark.functions import dedup_text, similarity, text as textfn
 from dstream_spark.operators import cdc, dedup, joins, skew, windows
 from dstream_spark.queries_base import (  # noqa: F401  (re-exported)
     ALL_TABLES,
+    SHINGLES_SQL,
     Query,
     _materialize,
     fan_out,
@@ -593,10 +594,7 @@ _LANG_PRED = (
 
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in textfn.STOPWORDS) + "]"
 
-_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
-    "i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))"
-)
+_SHINGLES = SHINGLES_SQL
 
 _MINHASH_COLS = ",\n       ".join(
     f"list_min(list_transform(sh, s -> md5('{seed}|' || s))) AS mh_{seed}"
@@ -1100,11 +1098,14 @@ WHERE t.tool IS NOT NULL"""
     "emb_ivf_assign": Query(q_emb_ivf_assign, ORACLES["emb_ivf_assign"]),
 }
 
-# extended coverage (queries_ext.py) — merged at import so the driver
-# sees one flat registry
+# extended coverage (queries_ext.py) and training-data pipeline ops
+# (queries_llm.py) — merged at import so the driver sees one flat
+# registry
 from dstream_spark.queries_ext import EXT_QUERIES  # noqa: E402
+from dstream_spark.queries_llm import LLM_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
+QUERIES.update(LLM_QUERIES)
 
 # Driver-gate prioritization: the per-round correctness gate samples a
 # subset of this registry in iteration order, so entries WITHOUT a
@@ -1114,6 +1115,10 @@ QUERIES.update(EXT_QUERIES)
 # (green) in r1 only; tail: green in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
     # new in r3 (never gated)
+    "docs_hash_split",
+    "docs_repetition",
+    "docs_pack_greedy",
+    "docs_decontaminate",
     "cep_user_agent_tool",
     "tpch_q12",
     "tpch_q19",

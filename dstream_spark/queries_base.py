@@ -44,6 +44,16 @@ def _t_sql(body: str) -> str:
 # exactly once")
 IDENTITY_SQL = _t_sql("SELECT * FROM transcripts")
 
+# DuckDB form of functions.dedup_text.word_shingles(k=3): distinct word
+# 3-grams, empty list for docs under 3 tokens (greatest(...) guards
+# generate_series, which descends for n <= 0 on the Spark side — see
+# word_shingles). Shared by the jaccard/minhash and decontamination
+# oracles.
+SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
+    "i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))"
+)
+
 
 def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Raise parallelism before a CPU-heavy derived projection.

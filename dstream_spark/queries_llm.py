@@ -1,0 +1,236 @@
+"""Training-data pipeline operators beyond the dedup/similarity
+families: deterministic corpus splitting, repetition-quality scoring,
+context-window packing, and benchmark decontamination.
+
+These are the corpus-preparation steps a 100 TB LLM data pipeline runs
+between dedup and training, expressed Spark-first:
+
+- hash_split: reproducible train/val/test assignment from md5(doc_id)
+  — a pure projection (no .sample(), no RNG, no shuffle), so the split
+  is stable under reruns, replication, and repartitioning. The same
+  hex-nibble arithmetic runs on DuckDB, so the oracle is bit-exact.
+- repetition: Gopher-style repetition signals (top-token ratio,
+  unique-token ratio) via explode + two partial aggregations — the
+  shuffle carries (doc_id, token) counts, never text.
+- pack_greedy: greedy token-budget packing of documents into training
+  sequences. Packing is sharded (pmod(doc_id, SHARDS)) so the
+  running-sum window never becomes a single global sort — each shard
+  packs independently, which is how a cluster packs 10^9 docs (shard
+  count scales with executors; the reference's per-table independent
+  pipelines are the same isolation shape, SURVEY.md §2 S2/D6).
+- decontaminate: flag training documents sharing any word 3-gram with
+  an eval/benchmark set. The eval side is BROADCAST (benchmark suites
+  are MBs; the corpus is the 100 TB side), so the only shuffle is the
+  final per-doc aggregation.
+
+Reference parity: the reference has no relational layer (SURVEY.md
+§2.6 — transformation is delegated to providers); these fill the
+"operations a large-scale training-data pipeline would need" axis of
+the brief with oracle-checked implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dstream_spark.fixtures.transcripts import register_tables
+from dstream_spark.functions import dedup_text
+from dstream_spark.queries_base import SHINGLES_SQL, Query, fan_out
+
+# train/val/test boundaries over the 0..255 bucket space (80/10/10)
+SPLIT_TRAIN_LT = 204
+SPLIT_VAL_LT = 230
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 8
+DECON_EVAL_MAX_ID = 20  # doc_id < 20 plays the benchmark/eval set
+
+
+def _hex_nibble(c):
+    # md5 hex is lowercase on both engines; instr is 1-based on both
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: bucket = first md5 byte of
+    the document id (0..255), split by fixed boundaries. Identity-keyed
+    (not text-keyed) so near-identical revisions of a document land in
+    the SAME split — the leakage-safe default."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        _hex_nibble(F.substring(h, 1, 1)) * 16 + _hex_nibble(F.substring(h, 2, 1))
+    ).cast("int")
+    split = (
+        F.when(F.col("hash_bucket") < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(F.col("hash_bucket") < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", bucket.alias("hash_bucket")).withColumn("split", split)
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals (the Gopher/C4 rules' shape): unique
+    -token ratio and top-token ratio per document. explode → count per
+    (doc, token) → per-doc max/sum: both aggregations partial-combine
+    map-side, and the exchange carries token COUNTS, not text. Ratios
+    are one double division of exact BIGINTs (cross-engine bit-exact,
+    see the conventions header in queries.py)."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    ex = fan_out(d).select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("c").alias("top_tok_n"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq",
+        "top_tok_n",
+        (F.col("n_uniq").cast("double") / F.col("n_tokens").cast("double")).alias("uniq_ratio"),
+        (F.col("top_tok_n").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_tok_ratio"
+        ),
+    )
+
+
+def q_docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing: within a shard, documents (in
+    doc_id order) accumulate into sequences of PACK_BUDGET_TOKENS;
+    seq_id = floor(running_prefix / budget), tok_offset = position
+    inside the sequence. The window is PARTITIONED BY SHARD — never a
+    global orderBy (the single-task sort this engine bans); shard
+    count is the parallelism knob at scale. floor(prev/budget) over
+    doubles is exact for any corpus below 2^53 tokens per shard."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    base = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(prev / PACK_BUDGET_TOKENS).cast("int").alias("seq_id"),
+        (prev - F.floor(prev / PACK_BUDGET_TOKENS) * PACK_BUDGET_TOKENS)
+        .cast("long")
+        .alias("tok_offset"),
+    )
+
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id >=
+    DECON_EVAL_MAX_ID) sharing at least one word 3-gram with the eval
+    set (doc_id < DECON_EVAL_MAX_ID). The eval shingle table is
+    broadcast — at 100 TB the benchmark suite is MBs against a
+    corpus-sized training side, so candidate generation is a map-side
+    hash join; the only exchange is the final per-doc aggregate.
+    n_hits counts (train-shingle, eval-doc) matches; shingles are
+    distinct per document on both sides."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    ev = (
+        d.filter(F.col("doc_id") < DECON_EVAL_MAX_ID)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(dedup_text.word_shingles("text", 3)).alias("g"),
+        )
+    )
+    tr = fan_out(d.filter(F.col("doc_id") >= DECON_EVAL_MAX_ID)).select(
+        "doc_id", F.explode(dedup_text.word_shingles("text", 3)).alias("g")
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+
+
+LLM_ORACLES: dict[str, str] = {
+    "docs_hash_split": f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS INT) AS hash_bucket
+  FROM documents
+)
+SELECT doc_id, hash_bucket,
+       CASE WHEN hash_bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN hash_bucket < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
+    "docs_repetition": """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_uniq,
+       CAST(max(c) AS BIGINT) AS top_tok_n,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS uniq_ratio,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_tok_ratio
+FROM cnt GROUP BY doc_id""",
+    "docs_pack_greedy": f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), pre AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(prev / {PACK_BUDGET_TOKENS}.0) AS INT) AS seq_id,
+       CAST(prev - CAST(FLOOR(prev / {PACK_BUDGET_TOKENS}.0) AS BIGINT) * {PACK_BUDGET_TOKENS} AS BIGINT) AS tok_offset
+FROM pre""",
+    "docs_decontaminate": f"""
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLES_SQL}) AS g FROM documents
+)
+SELECT t.doc_id AS doc_id,
+       count(DISTINCT e.doc_id) AS n_eval_docs,
+       count(*) AS n_hits
+FROM sh t
+JOIN sh e ON t.g = e.g AND t.doc_id >= {DECON_EVAL_MAX_ID} AND e.doc_id < {DECON_EVAL_MAX_ID}
+GROUP BY 1""",
+}
+
+LLM_QUERIES: dict[str, Query] = {
+    "docs_hash_split": Query(
+        q_docs_hash_split, LLM_ORACLES["docs_hash_split"],
+        "deterministic 80/10/10 split from md5(doc_id); shuffle-free projection",
+    ),
+    "docs_repetition": Query(
+        q_docs_repetition, LLM_ORACLES["docs_repetition"],
+        "Gopher-style repetition signals; partial-agg token counts",
+    ),
+    "docs_pack_greedy": Query(
+        q_docs_pack_greedy, LLM_ORACLES["docs_pack_greedy"],
+        "sharded greedy packing into token-budget sequences; no global sort",
+    ),
+    "docs_decontaminate": Query(
+        q_docs_decontaminate, LLM_ORACLES["docs_decontaminate"],
+        "eval-set n-gram overlap; broadcast eval side",
+    ),
+}

@@ -95,6 +95,24 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "watermark_late_drop": [
         ("BroadcastNestedLoopJoin", "cutoff scalar broadcast, no shuffle of the big side"),
     ],
+    # training-data corpus-preparation ops (queries_llm.py)
+    "docs_hash_split": [
+        ("ReadSchema: struct<doc_id:bigint>", "identity-keyed split reads ONLY doc_id"),
+        ("!Exchange", "shuffle-free projection — split is a pure hash"),
+    ],
+    "docs_repetition": [
+        ("HashAggregate", "token counts partial-aggregate map-side"),
+        ("!CartesianProduct", "no join at all"),
+    ],
+    "docs_pack_greedy": [
+        ("Window", "running prefix-sum window"),
+        ("!SinglePartition", "window pre-partitioned by shard — never a one-task global sort"),
+    ],
+    "docs_decontaminate": [
+        ("BroadcastHashJoin", "eval shingles broadcast — map-side candidate join"),
+        ("!CartesianProduct", "no all-pairs plan"),
+        ("!SortMergeJoin", "the corpus side never shuffles for the join"),
+    ],
 }
 
 
