@@ -49,6 +49,8 @@ HEADLINE = [
     "docs_minhash_pairs",
     "docs_simhash",
     "docs_simhash_dups",
+    "docs_simhash_wide_dups",
+    "docs_decontaminate",
     "emb_cosine_topk",
     "emb_ivf_assign",
     "emb_ivf_topk",

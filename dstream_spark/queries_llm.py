@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from dstream_spark.fixtures.transcripts import register_tables
 from dstream_spark.functions import dedup_text
-from dstream_spark.queries_base import SHINGLES_SQL, Query, fan_out
+from dstream_spark.queries_base import SHINGLES_SQL, Query, _materialize, fan_out
 
 # train/val/test boundaries over the 0..255 bucket space (80/10/10)
 SPLIT_TRAIN_LT = 204
@@ -160,7 +160,54 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_simhash_wide_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE-fingerprint near-dup path: 48-bit simhash + pigeonhole
+    banding at hamming ≤ 8. docs_simhash_dups (32-bit) documents that
+    pruning power is 2^(bits/9) buckets per segment — 8-16 at 32 bits,
+    32-64 at 48 bits — so widening the fingerprint is THE scale lever
+    for 10^9+ corpora (Manku et al.'s permuted-table scheme). This
+    query makes that claim a measured, oracle-checked fact rather than
+    a docstring: same operator (simhash_table / simhash_near_dups are
+    bit-parameterized), same brute-force DuckDB ground truth. 48 bits
+    (12 of md5's 32 hex nibbles) keeps 2^b termwise inside BIGINT on
+    both engines."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    s = _materialize(dedup_text.simhash_table(fan_out(d), bits=48), "simhash48")
+    return dedup_text.simhash_near_dups(s, bits=48, max_hamming=8)
+
+
+def _simhash_sql(bits: int) -> tuple[str, str]:
+    """DuckDB form of functions.dedup_text.simhash_table(bits): per-bit
+    token votes from md5 hex nibbles, then the positive-vote combine
+    (mirrors queries.py's 32-bit _SIMHASH_BIT_SUMS/_SIMHASH_COMBINE)."""
+    bit_sums = ",\n         ".join(
+        f"SUM(((instr('0123456789abcdef', substring(md5(tok), {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1) * 2 - count(*) AS v_{b}"
+        for b in range(bits)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    return bit_sums, combine
+
+
+_W_BIT_SUMS, _W_COMBINE = _simhash_sql(48)
+
 LLM_ORACLES: dict[str, str] = {
+    "docs_simhash_wide_dups": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), votes AS (
+  SELECT doc_id,
+         {_W_BIT_SUMS}
+  FROM toks GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {_W_COMBINE} AS simhash FROM votes
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 8""",
     "docs_hash_split": f"""
 WITH b AS (
   SELECT doc_id,
@@ -232,5 +279,9 @@ LLM_QUERIES: dict[str, Query] = {
     "docs_decontaminate": Query(
         q_docs_decontaminate, LLM_ORACLES["docs_decontaminate"],
         "eval-set n-gram overlap; broadcast eval side",
+    ),
+    "docs_simhash_wide_dups": Query(
+        q_docs_simhash_wide_dups, LLM_ORACLES["docs_simhash_wide_dups"],
+        "48-bit simhash banding — the wide-fingerprint scale path, measured",
     ),
 }
