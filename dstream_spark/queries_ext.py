@@ -344,6 +344,80 @@ def q_stream_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_tool_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: agent turns with their
+    tool invocations within ±10 min, PLUS a null row for every agent
+    turn the engine has PROVEN has no match — emitted when the global
+    watermark passes the turn's join window. The oracle encodes
+    Spark's outer-join eviction contract exactly: the global watermark
+    is min(per-side max event time) − delay (each side's watermark
+    tracks its own filtered stream), and a left row's null emits iff
+    ts + upper_bound < that watermark (strict; verified empirically at
+    the boundary). At 10^12 turns this is the 'conversations the agent
+    answered unaided' stream — computable only with bounded state
+    because the watermark caps how long each turn waits for a tool."""
+    import uuid
+
+    from dstream_spark.operators.joins import interval_join
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("lojoin")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True)
+    a = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    t = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    agents = a.filter(F.col("role") == "agent").select("conv_id", "turn_idx", "ts")
+    tools = t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool", "ts")
+    j = interval_join(
+        agents, tools, lower_s=600, upper_s=600, watermark="2 hours", how="leftOuter"
+    ).select(
+        F.col("conv_id"),
+        F.col("turn_idx").alias("agent_turn"),
+        F.col("turn_idx_r").alias("tool_turn"),
+        F.col("tool_r").alias("tool"),
+    )
+    name = f"lojoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP: the user → agent → tool-call triple detected
+    across micro-batch boundaries by applyInPandasWithState — per-conv
+    state is the last TWO turns plus the cursor high-water mark (O(1)
+    state at 10^12 turns; a triple split across batches still fires,
+    and the replayed batch 0 is rejected by the cursor so every match
+    emits exactly once). Oracle: the batch lead()-window CEP SQL —
+    the streaming engine and a window scan must agree row-for-row."""
+    import uuid
+
+    from dstream_spark.operators.cep import cep_pattern_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("cep")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_turn=True, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = cep_pattern_stream(src)
+    name = f"cep_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 adapted (no l_commitdate in the fixture): order counts
     per priority for orders with a line item shipped >30 days after
@@ -927,6 +1001,40 @@ JOIN transcripts t
  AND t.ts >= a.ts - INTERVAL '600 seconds'
  AND t.ts <= a.ts + INTERVAL '600 seconds'"""
     ),
+    # Spark's outer-join eviction contract, encoded: the global
+    # watermark is min(per-side max event time) - delay (each
+    # withWatermark node tracks ITS OWN filtered stream — the tool
+    # side's max lags the agent side's), and an unmatched left row's
+    # null emits iff ts + upper_bound < that watermark, STRICTLY
+    # (state removal is ts < wm - upper; verified at the boundary).
+    "stream_tool_left_join": _t_sql(
+        """
+, agents AS (
+  SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'agent'
+), tools AS (
+  SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool IS NOT NULL
+), wm AS (
+  SELECT least((SELECT max(ts) FROM agents), (SELECT max(ts) FROM tools))
+         - INTERVAL '2 hours' AS w
+)
+SELECT a.conv_id AS conv_id, a.turn_idx AS agent_turn,
+       t.turn_idx AS tool_turn, t.tool AS tool
+FROM agents a
+JOIN tools t
+  ON a.conv_id = t.conv_id
+ AND t.ts >= a.ts - INTERVAL '600 seconds'
+ AND t.ts <= a.ts + INTERVAL '600 seconds'
+UNION ALL
+SELECT a.conv_id, a.turn_idx AS agent_turn,
+       CAST(NULL AS INTEGER) AS tool_turn, CAST(NULL AS VARCHAR) AS tool
+FROM agents a
+WHERE NOT EXISTS (
+  SELECT 1 FROM tools t
+  WHERE t.conv_id = a.conv_id
+    AND t.ts >= a.ts - INTERVAL '600 seconds'
+    AND t.ts <= a.ts + INTERVAL '600 seconds')
+  AND a.ts + INTERVAL '600 seconds' < (SELECT w FROM wm)"""
+    ),
     "tpch_q4": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -1142,6 +1250,16 @@ EXT_QUERIES: dict[str, Query] = {
         q_cep_user_agent_tool, EXT_ORACLES["cep_user_agent_tool"],
         "CEP 3-step sequence pattern (user→agent→tool ≤18h) as a "
         "single window-function scan — linear at 10^12 turns",
+    ),
+    "stream_cep_pattern": Query(
+        q_stream_cep_pattern, EXT_ORACLES["cep_user_agent_tool"],
+        "STREAMING CEP via applyInPandasWithState (last-2-turns state, "
+        "cursor-exactly-once, cross-batch triples) == batch window scan",
+    ),
+    "stream_tool_left_join": Query(
+        q_stream_tool_left_join, EXT_ORACLES["stream_tool_left_join"],
+        "LEFT OUTER stream-stream interval join — null rows exactly at "
+        "watermark-proven no-match, oracle encodes the eviction contract",
     ),
     "tpch_q10": Query(q_tpch_q10, EXT_ORACLES["tpch_q10"]),
     "tpch_q14": Query(q_tpch_q14, EXT_ORACLES["tpch_q14"]),
