@@ -1115,6 +1115,9 @@ QUERIES.update(LLM_QUERIES)
 # (green) in r1 only; tail: green in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
     # new in r3 (never gated)
+    "conv_gap_median_udaf",
+    "role_transitions",
+    "tpch_q7",
     "stream_cep_pattern",
     "stream_tool_left_join",
     "docs_simhash_wide_dups",

@@ -344,6 +344,81 @@ def q_stream_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_conv_gap_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-UDAF surface (GROUPED_AGG pandas_udf), completing
+    the UDF family next to scalar pandas_udf / grouped-map / mapInPandas
+    / applyInPandasWithState: per-conversation median inter-turn gap.
+    The group's gaps arrive as one Arrow batch, reduced by a numpy
+    kernel — no per-row Python. Median over BIGINT seconds is
+    cross-engine exact (x.0/x.5 doubles)."""
+    from dstream_spark.functions.udfs import median_long
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    e = F.col("ts").cast("timestamp").cast("long")
+    g = t.select("conv_id", (e - F.lag(e).over(w)).alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return g.groupBy("conv_id").agg(median_long("gap_s").alias("median_gap_s"))
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-taking transition matrix: counts and fractions of each
+    (role → next role) edge over the turn sequence — the conversation-
+    dynamics profile of a transcript corpus. One window scan (shuffle
+    on conv_id) + one partial aggregation; the fraction is exact-int /
+    exact-int in a single double division."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = t.select(
+        F.col("role").alias("from_role"), F.lead("role").over(w).alias("to_role")
+    ).filter(F.col("to_role").isNotNull())
+    counts = p.groupBy("from_role", "to_role").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_role")
+    return counts.select(
+        "from_role",
+        "to_role",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias("frac"),
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted: shipping volume between nation pair (1, 2) by
+    ship year — the two-sided dimension join (nation broadcast twice
+    under different aliases) + exact-cents aggregation."""
+    register_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    li = spark.table("lineitem")
+    s = spark.table("supplier")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n1 = spark.table("nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("sk") == 1) & (F.col("ck") == 2))
+            | ((F.col("sk") == 2) & (F.col("ck") == 1))
+        )
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"), cents.alias("c"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("c") / 100.0).alias("revenue"))
+    )
+
+
 def q_stream_tool_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream interval join: agent turns with their
     tool invocations within ±10 min, PLUS a null row for every agent
@@ -1001,6 +1076,45 @@ JOIN transcripts t
  AND t.ts >= a.ts - INTERVAL '600 seconds'
  AND t.ts <= a.ts + INTERVAL '600 seconds'"""
     ),
+    "conv_gap_median_udaf": _t_sql(
+        """
+, g AS (
+  SELECT conv_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+         - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+  FROM transcripts
+)
+SELECT conv_id, CAST(median(gap_s) AS DOUBLE) AS median_gap_s
+FROM g WHERE gap_s IS NOT NULL GROUP BY 1"""
+    ),
+    "role_transitions": _t_sql(
+        """
+, p AS (
+  SELECT role AS from_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_role
+  FROM transcripts
+), c AS (
+  SELECT from_role, to_role, count(*) AS n
+  FROM p WHERE to_role IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_role, to_role, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_role) AS DOUBLE) AS frac
+FROM c"""
+    ),
+    "tpch_q7": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+   OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1)
+GROUP BY 1, 2, 3""",
     # Spark's outer-join eviction contract, encoded: the global
     # watermark is min(per-side max event time) - delay (each
     # withWatermark node tracks ITS OWN filtered stream — the tool
@@ -1260,6 +1374,18 @@ EXT_QUERIES: dict[str, Query] = {
         q_stream_tool_left_join, EXT_ORACLES["stream_tool_left_join"],
         "LEFT OUTER stream-stream interval join — null rows exactly at "
         "watermark-proven no-match, oracle encodes the eviction contract",
+    ),
+    "conv_gap_median_udaf": Query(
+        q_conv_gap_median_udaf, EXT_ORACLES["conv_gap_median_udaf"],
+        "GROUPED_AGG pandas UDAF (Arrow batch -> numpy median), exact",
+    ),
+    "role_transitions": Query(
+        q_role_transitions, EXT_ORACLES["role_transitions"],
+        "turn-taking transition matrix: window scan + partial agg",
+    ),
+    "tpch_q7": Query(
+        q_tpch_q7, EXT_ORACLES["tpch_q7"],
+        "two-sided nation dimension (broadcast twice) + exact cents",
     ),
     "tpch_q10": Query(q_tpch_q10, EXT_ORACLES["tpch_q10"]),
     "tpch_q14": Query(q_tpch_q14, EXT_ORACLES["tpch_q14"]),
