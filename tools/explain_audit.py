@@ -95,6 +95,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "watermark_late_drop": [
         ("BroadcastNestedLoopJoin", "cutoff scalar broadcast, no shuffle of the big side"),
     ],
+    "tpch_q7": [
+        ("BroadcastHashJoin", "nation dimension broadcast (both aliases)"),
+        ("!CartesianProduct", "nation-pair filter stays a post-join predicate"),
+    ],
+    "role_transitions": [
+        ("HashAggregate", "edge counts partial-aggregate"),
+        ("!SinglePartition", "transition fractions windowed per from_role, no global sort"),
+    ],
     # training-data corpus-preparation ops (queries_llm.py)
     "docs_hash_split": [
         ("ReadSchema: struct<doc_id:bigint>", "identity-keyed split reads ONLY doc_id"),
