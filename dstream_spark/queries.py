@@ -959,6 +959,12 @@ def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_session_windows(spark, sf_dir)
 
 
+def _stream_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_dedup_sessions
+
+    return stream_dedup_sessions(spark, sf_dir)
+
+
 def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_sliding_counts
 
@@ -1066,6 +1072,12 @@ QUERIES: dict[str, Query] = {
         ORACLES["stream_session_windows"],
         "streaming session_window (append) == gaps-and-islands + closure predicate",
     ),
+    "stream_dedup_sessions": Query(
+        _stream_dedup_sessions,
+        ORACLES["stream_session_windows"],
+        "north-star chain: watermarked dedup -> session windows, TWO "
+        "stateful ops in one streaming plan; replay invisible end-to-end",
+    ),
     "stream_sliding_counts": Query(
         _stream_sliding, ORACLES["sliding_counts"],
         "REAL streaming sliding windows (complete mode) vs the batch oracle",
@@ -1115,6 +1127,7 @@ QUERIES.update(LLM_QUERIES)
 # (green) in r1 only; tail: green in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
     # new in r3 (never gated)
+    "stream_dedup_sessions",
     "conv_gap_median_udaf",
     "role_transitions",
     "tpch_q7",

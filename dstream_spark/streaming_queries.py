@@ -171,6 +171,47 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def stream_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition in ONE streaming query: change feed
+    → watermarked dedup (dropDuplicatesWithinWatermark) → session-
+    window aggregation → append sink. TWO stateful operators chained
+    in a single micro-batch plan (Spark multi-stateful-operator
+    support): the dedup state absorbs the crash-replayed batch 0, the
+    session state closes conversation boundaries, and the output must
+    equal the batch gaps-and-islands oracle — i.e. the replay is
+    invisible THROUGH the whole chain, not just through one operator.
+    Session emission uses the same closure predicate as
+    stream_session_windows (w_end <= final watermark)."""
+    import uuid
+
+    from dstream_spark.operators.event_time import with_event_time
+    from dstream_spark.operators.windows import _flatten_window
+
+    feed = _scratch("dsess")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    deduped = (
+        with_event_time(src, "ts")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    agg = _flatten_window(
+        deduped.groupBy(F.session_window("ts", "30 minutes").alias("w"), "conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns")
+        )
+    )
+    name = f"dsess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (append mode) over a quasi-ordered
     feed: conversation-boundary detection with bounded state. Emission
