@@ -965,6 +965,12 @@ def _stream_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_sessions(spark, sf_dir)
 
 
+def _stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_hourly_daily_rollup
+
+    return stream_hourly_daily_rollup(spark, sf_dir)
+
+
 def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_sliding_counts
 
@@ -1012,6 +1018,30 @@ ORACLES["stream_session_windows"] = _t_sql(
 SELECT s_start AS w_start, s_end + INTERVAL '30 minutes' AS w_end, conv_id, n_turns
 FROM sess
 WHERE s_end + INTERVAL '30 minutes' <= (SELECT max(ts) FROM transcripts) - INTERVAL '30 minutes'"""
+)
+
+
+# chained-rollup oracle: Spark's epoch-aligned window('1 hour') ==
+# date_trunc('hour'); the daily re-window keys on window_time (hour
+# end - 1µs), which never crosses midnight, so it equals
+# date_trunc('day', h_start). Closed days only (w_end <= final
+# watermark = max ts - 30 min).
+ORACLES["stream_hourly_daily_rollup"] = _t_sql(
+    """
+, h AS (
+  SELECT conv_id, date_trunc('hour', ts) AS h_start, count(*) AS n_turns
+  FROM transcripts GROUP BY 1, 2
+), d AS (
+  SELECT conv_id, CAST(date_trunc('day', h_start) AS TIMESTAMP) AS d_start,
+         CAST(sum(n_turns) AS BIGINT) AS n_turns_day,
+         CAST(max(n_turns) AS BIGINT) AS peak_hour_turns,
+         count(*) AS active_hours
+  FROM h GROUP BY 1, 2
+)
+SELECT d_start AS w_start, d_start + INTERVAL '1 day' AS w_end, conv_id,
+       n_turns_day, peak_hour_turns, active_hours
+FROM d
+WHERE d_start + INTERVAL '1 day' <= (SELECT max(ts) FROM transcripts) - INTERVAL '30 minutes'"""
 )
 
 
@@ -1078,6 +1108,12 @@ QUERIES: dict[str, Query] = {
         "north-star chain: watermarked dedup -> session windows, TWO "
         "stateful ops in one streaming plan; replay invisible end-to-end",
     ),
+    "stream_hourly_daily_rollup": Query(
+        _stream_rollup,
+        ORACLES["stream_hourly_daily_rollup"],
+        "chained windowed aggs (hourly -> daily) in one streaming plan; "
+        "the continuous-aggregate rollup shape, watermark-bounded twice",
+    ),
     "stream_sliding_counts": Query(
         _stream_sliding, ORACLES["sliding_counts"],
         "REAL streaming sliding windows (complete mode) vs the batch oracle",
@@ -1127,6 +1163,7 @@ QUERIES.update(LLM_QUERIES)
 # (green) in r1 only; tail: green in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
     # new in r3 (never gated)
+    "stream_hourly_daily_rollup",
     "stream_dedup_sessions",
     "conv_gap_median_udaf",
     "role_transitions",

@@ -212,6 +212,49 @@ def stream_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregations in ONE streaming plan (the
+    hypertable continuous-aggregate-over-continuous-aggregate shape):
+    hourly per-conversation turn counts roll up into daily totals /
+    peak-hour stats. The second aggregation consumes the first's
+    window column as its event time (window_time), so BOTH aggregation
+    states are watermark-bounded — the 10^12-turn form of a rollup
+    never re-reads raw turns. Emission: a daily window is final once
+    its end <= final watermark; the oracle applies the same closure
+    to the batch double-aggregation."""
+    import uuid
+
+    from dstream_spark.operators.event_time import with_event_time
+    from dstream_spark.operators.windows import _flatten_window
+
+    feed = _scratch("rollup")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    hourly = (
+        with_event_time(src, "ts")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    daily = _flatten_window(
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("w"), "conv_id").agg(
+            F.sum("n_turns").cast("bigint").alias("n_turns_day"),
+            F.max("n_turns").alias("peak_hour_turns"),
+            F.count(F.lit(1)).alias("active_hours"),
+        )
+    )
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (append mode) over a quasi-ordered
     feed: conversation-boundary detection with bounded state. Emission
