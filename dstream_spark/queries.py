@@ -596,30 +596,8 @@ _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in textfn.STOPWORDS) + "]"
 
 _SHINGLES = SHINGLES_SQL
 
-_MINHASH_COLS = ",\n       ".join(
-    f"list_min(list_transform(sh, s -> md5('{seed}|' || s))) AS mh_{seed}"
-    for seed in range(dedup_text.NUM_PERM)
-)
-
-_BAND_ROWS = dedup_text.NUM_PERM // dedup_text.BANDS
-
-# the minhash signature CTE + per-band projection, shared by the bands
-# and pairs oracles (WHERE len(sh) > 0 mirrors the Spark-side guard:
-# docs shorter than the shingle size have no signature)
-_SIG_CTE = f"""sh AS (
-  SELECT doc_id, {_SHINGLES} AS sh FROM documents
-), sig AS (
-  SELECT doc_id,
-       {_MINHASH_COLS}
-  FROM sh WHERE len(sh) > 0
-)"""
-_BANDS_BODY = "\nUNION ALL\n".join(
-    "SELECT doc_id, CAST({b} AS INT) AS band, md5({expr}) AS band_hash FROM sig".format(
-        b=b,
-        expr=" || '|' || ".join(f"mh_{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)),
-    )
-    for b in range(dedup_text.BANDS)
-)
+from dstream_spark.queries_base import MINHASH_BANDS_BODY as _BANDS_BODY  # noqa: E402
+from dstream_spark.queries_base import MINHASH_SIG_CTE as _SIG_CTE  # noqa: E402
 
 # simhash oracle: per-token bit votes, 32 bits from the first 8 hex
 # nibbles of md5(token)
@@ -1163,6 +1141,7 @@ QUERIES.update(LLM_QUERIES)
 # (green) in r1 only; tail: green in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
     # new in r3 (never gated)
+    "docs_dup_clusters",
     "stream_hourly_daily_rollup",
     "stream_dedup_sessions",
     "conv_gap_median_udaf",

@@ -55,6 +55,39 @@ SHINGLES_SQL = (
 )
 
 
+def _minhash_sql() -> tuple[str, str]:
+    """DuckDB forms of functions.dedup_text minhash_signature +
+    lsh_bands: the signature CTE (WHERE len(sh) > 0 mirrors the
+    Spark-side short-doc guard) and the per-band projection body.
+    Shared by the bands/pairs/verified oracles (queries.py) and the
+    dup-cluster oracle (queries_llm.py)."""
+    from dstream_spark.functions import dedup_text
+
+    mh_cols = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> md5('{seed}|' || s))) AS mh_{seed}"
+        for seed in range(dedup_text.NUM_PERM)
+    )
+    rows = dedup_text.NUM_PERM // dedup_text.BANDS
+    sig_cte = f"""sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents
+), sig AS (
+  SELECT doc_id,
+       {mh_cols}
+  FROM sh WHERE len(sh) > 0
+)"""
+    bands_body = "\nUNION ALL\n".join(
+        "SELECT doc_id, CAST({b} AS INT) AS band, md5({expr}) AS band_hash FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(dedup_text.BANDS)
+    )
+    return sig_cte, bands_body
+
+
+MINHASH_SIG_CTE, MINHASH_BANDS_BODY = _minhash_sql()
+
+
 def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Raise parallelism before a CPU-heavy derived projection.
 

@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from dstream_spark.fixtures.transcripts import register_tables
 from dstream_spark.functions import dedup_text
-from dstream_spark.queries_base import SHINGLES_SQL, Query, _materialize, fan_out
+from dstream_spark.queries_base import (
+    MINHASH_BANDS_BODY,
+    MINHASH_SIG_CTE,
+    SHINGLES_SQL,
+    Query,
+    _materialize,
+    fan_out,
+)
 
 # train/val/test boundaries over the 0..255 bucket space (80/10/10)
 SPLIT_TRAIN_LT = 204
@@ -177,6 +184,59 @@ def q_docs_simhash_wide_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.simhash_near_dups(s, bits=48, max_hamming=8)
 
 
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION — the step between candidate pairs
+    and 'keep one per group': connected components over the
+    MinHash-LSH pair graph by min-label propagation. Each iteration is
+    one relational step (labels ⋈ edges → min per node, all
+    partial-aggregated); the driver loop only reads a scalar
+    changed-count, so the data never leaves the cluster — this is the
+    standard O(diameter)-round Spark CC (large-star/small-star's
+    simple form; dup clusters have tiny diameters, so rounds ≈ 2-3).
+    Output: (doc_id, cluster_id = min doc_id of the component, keep =
+    doc_id == cluster_id) for every document in at least one pair.
+    Oracle: DuckDB recursive-CTE reachability with min aggregation."""
+    from dstream_spark.queries import q_docs_minhash_pairs
+
+    pairs = q_docs_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = _materialize(
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ),
+        "cc_edges",
+    )
+    labels = edges.select(F.col("id_a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(20):  # diameter bound; dup clusters converge in 2-3
+        neigh = (
+            edges.join(labels, edges.id_b == labels.doc_id)
+            .groupBy(F.col("id_a").alias("doc_id"))
+            .agg(F.min("label").alias("n_label"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = new.filter(F.col("new_label") != F.col("label")).count()
+        labels = _materialize(
+            new.select("doc_id", F.col("new_label").alias("label")), "cc_labels"
+        )
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
 def _simhash_sql(bits: int) -> tuple[str, str]:
     """DuckDB form of functions.dedup_text.simhash_table(bits): per-bit
     token votes from md5 hex nibbles, then the positive-vote combine
@@ -194,6 +254,26 @@ def _simhash_sql(bits: int) -> tuple[str, str]:
 _W_BIT_SUMS, _W_COMBINE = _simhash_sql(48)
 
 LLM_ORACLES: dict[str, str] = {
+    # cluster_id = min reachable doc over the undirected pair graph —
+    # exactly what min-label propagation converges to
+    "docs_dup_clusters": f"""
+WITH RECURSIVE {MINHASH_SIG_CTE}, bands AS (
+{MINHASH_BANDS_BODY}
+), pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l
+  JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT DISTINCT id_a, id_a FROM edges
+  UNION
+  SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id, (src = min(dst)) AS keep
+FROM reach GROUP BY 1""",
     "docs_simhash_wide_dups": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -283,5 +363,10 @@ LLM_QUERIES: dict[str, Query] = {
     "docs_simhash_wide_dups": Query(
         q_docs_simhash_wide_dups, LLM_ORACLES["docs_simhash_wide_dups"],
         "48-bit simhash banding — the wide-fingerprint scale path, measured",
+    ),
+    "docs_dup_clusters": Query(
+        q_docs_dup_clusters, LLM_ORACLES["docs_dup_clusters"],
+        "connected components over the LSH pair graph (min-label "
+        "propagation); keep-one-per-cluster resolution",
     ),
 }
