@@ -22,6 +22,10 @@ between dedup and training, expressed Spark-first:
   an eval/benchmark set. The eval side is BROADCAST (benchmark suites
   are MBs; the corpus is the 100 TB side), so the only shuffle is the
   final per-doc aggregation.
+- dup_clusters: candidate pairs → dedup GROUPS via connected
+  components (min-label propagation, O(diameter) relational rounds).
+- simhash_wide_dups: the 48-bit wide-fingerprint near-dup path — the
+  measured form of "widen the hash at 10^9 docs".
 
 Reference parity: the reference has no relational layer (SURVEY.md
 §2.6 — transformation is delegated to providers); these fill the
