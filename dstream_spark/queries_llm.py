@@ -218,20 +218,18 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("id_a").alias("doc_id"))
             .agg(F.min("label").alias("n_label"))
         )
-        new = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
-            )
+        new = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))).alias(
+                "label"
+            ),
+            F.col("label").alias("_old"),
         )
-        changed = new.filter(F.col("new_label") != F.col("label")).count()
-        labels = _materialize(
-            new.select("doc_id", F.col("new_label").alias("label")), "cc_labels"
-        )
+        # land the round once, THEN read the convergence scalar from
+        # the landed table — one execution per round, not two
+        mat = _materialize(new, "cc_labels")
+        changed = mat.filter(F.col("label") != F.col("_old")).count()
+        labels = mat.drop("_old")
         if changed == 0:
             break
     return labels.select(
