@@ -943,6 +943,12 @@ def _stream_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_sessions(spark, sf_dir)
 
 
+def _stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_cdc_deletes
+
+    return stream_cdc_deletes(spark, sf_dir)
+
+
 def _stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_hourly_daily_rollup
 
@@ -1086,6 +1092,12 @@ QUERIES: dict[str, Query] = {
         "north-star chain: watermarked dedup -> session windows, TWO "
         "stateful ops in one streaming plan; replay invisible end-to-end",
     ),
+    "stream_cdc_deletes": Query(
+        _stream_cdc_deletes,
+        ORACLES["cdc_with_deletes"],
+        "insert/update/DELETE envelope through the exactly-once MERGE "
+        "sink under replay == batch apply_changes oracle",
+    ),
     "stream_hourly_daily_rollup": Query(
         _stream_rollup,
         ORACLES["stream_hourly_daily_rollup"],
@@ -1141,6 +1153,7 @@ QUERIES.update(LLM_QUERIES)
 # (green) in r1 only; tail: green in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
     # new in r3 (never gated)
+    "stream_cdc_deletes",
     "docs_dup_clusters",
     "stream_hourly_daily_rollup",
     "stream_dedup_sessions",

@@ -171,6 +171,65 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL CDC OperationType surface THROUGH the streaming sink:
+    a change feed of three commits (v1 inserts, v2 updates every 5th
+    turn, v3 DELETES every 7th) plus a crash-replay of commit 1 runs
+    through the exactly-once MergeSink; the read side resolves latest-
+    version-per-key and drops delete-terminated keys (the Iceberg
+    merge-on-read shape). Must equal the batch cdc_with_deletes oracle
+    — insert/update/delete envelope semantics survive micro-batching,
+    replay, and the sink commit protocol end-to-end."""
+    t = transcripts_from_events(spark, sf_dir)
+    v1 = t.withColumn("_change_type", F.lit("insert")).withColumn(
+        "_commit_version", F.lit(1).cast("long")
+    )
+    v2 = (
+        t.filter(F.col("turn_idx") % 5 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [edited]")))
+        .withColumn("_change_type", F.lit("update"))
+        .withColumn("_commit_version", F.lit(2).cast("long"))
+    )
+    v3 = (
+        t.filter(F.col("turn_idx") % 7 == 0)
+        .withColumn("_change_type", F.lit("delete"))
+        .withColumn("_commit_version", F.lit(3).cast("long"))
+    )
+    feed = _scratch("cdcdel_feed")
+    os.makedirs(feed, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, part in enumerate((v1, v2, v3, v1)):  # 4th file = replay of commit 1
+        tmp = os.path.join(feed, f".tmp_{uuid.uuid4().hex[:8]}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"batch_{i:05d}.parquet")
+        os.rename(os.path.join(tmp, src_file), dst)
+        import shutil
+
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    table = _scratch("cdcdel_table")
+    ckpt = _scratch("cdcdel_ckpt")
+    sink = MergeSink(table, version_col="_commit_version", n_partitions=8)
+    pipe = Pipeline(
+        spark,
+        {
+            "name": f"cdcdel_{uuid.uuid4().hex[:8]}",
+            "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+            "transforms": [],
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": os.path.join(ckpt, "q"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    pipe.init()
+    q = pipe.run()
+    q.awaitTermination()
+    pipe.stop()
+    return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def stream_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star composition in ONE streaming query: change feed
     → watermarked dedup (dropDuplicatesWithinWatermark) → session-
