@@ -3,13 +3,14 @@
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
                  training-data-pipeline ops, ALL with DuckDB oracles,
-                 incl. FIFTEEN real Structured Streaming runs
+                 incl. SIXTEEN real Structured Streaming runs
                  (tumbling/sliding aggs, exactly-once sink under
-                 replay incl. the full insert/update/DELETE envelope,
-                 stateful cursor, session windows, stream-stream
-                 inner + LEFT OUTER interval joins, watermark dedup,
-                 CEP pattern detection, update-mode windowed agg →
-                 keyed exactly-once MERGE, stream-static enrichment,
+                 replay incl. the full insert/update/DELETE envelope
+                 replayed at its ORIGINAL epoch id, stateful cursor,
+                 session windows, stream-stream inner + LEFT OUTER
+                 interval joins, watermark dedup, TWO parameterized
+                 CEP patterns, update-mode windowed agg → keyed
+                 exactly-once MERGE, stream-static enrichment,
                  two-destination fanout, and two MULTI-stateful
                  chains: dedup → session windows and hourly → daily
                  window rollup) checked against batch SQL

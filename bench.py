@@ -93,21 +93,29 @@ def main() -> None:
     run_dedup_sink(spark, feed_dir, f"/tmp/dstream_bench_warm_{cores}", n_partitions=cores)
 
     def best_of(fn, tag: str, n: int = 2) -> dict:
-        # best-of-n: the host shows 5%+ steal at idle and 3x run-to-run
-        # swings (BENCH/NOTES.md); the best run is the engine's number
+        # best-of-n with the MEDIAN alongside: the host shows 5%+ steal
+        # at idle and 3x run-to-run swings (BENCH/NOTES.md), so best is
+        # the engine's number, median the honest-noise companion the r3
+        # verdict asked for
+        import statistics
+
         runs = [
             fn(spark, feed_dir, f"/tmp/dstream_bench_{tag}_{cores}_{i}", n_partitions=cores)
             for i in range(n)
         ]
         best = max(runs, key=lambda r: r["events_per_sec"])
         best["all_events_per_sec"] = [r["events_per_sec"] for r in runs]
+        best["median_events_per_sec"] = round(
+            statistics.median(r["events_per_sec"] for r in runs), 1
+        )
         return best
 
     stream = {
         # dedup is the headline (BASELINE.json metric) and the noisier
-        # job (RocksDB state + MERGE sink); 3 samples, window keeps 2
-        "dedup_sink": best_of(run_dedup_sink, "dedup", n=3),
-        "window_sink": best_of(run_window_sink, "window"),
+        # job (RocksDB state + MERGE sink): 5 samples (the r3 spread was
+        # 3x over 3 samples); window is the stabler job, 3 samples
+        "dedup_sink": best_of(run_dedup_sink, "dedup", n=5),
+        "window_sink": best_of(run_window_sink, "window", n=3),
     }
     # the sink runners pin shuffle.partitions = cores for micro-batch
     # state; restore the pre-pin session default so the batch queries

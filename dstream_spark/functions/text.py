@@ -107,6 +107,61 @@ def bpe_token_count(text_col: str = "text") -> Column:
     return F.size(bpe_tokens(text_col)).cast("int")
 
 
+# Ordered BPE merge table (the fixture's "merges.txt"): rank order is
+# the application order, exactly as a trained byte-pair tokenizer
+# applies its merges. Chosen for the fixture vocabulary so merges
+# actually fire (the/order/stream/filter/...).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "r"),
+    ("i", "n"),
+    ("a", "t"),
+    ("o", "r"),
+    ("s", "t"),
+    ("a", "n"),
+    ("r", "e"),
+    ("o", "w"),
+)
+
+# Passes per merge rule. replace() is a single left-to-right
+# non-overlapping pass on both engines, which can miss alternating
+# occurrences ("x a b a b" → first match consumes the shared
+# delimiter); a second pass closes what the first left adjacent.
+# The operator's DEFINED semantics are "apply each rule as
+# BPE_MERGE_PASSES delimiter-safe replace passes, in rank order" —
+# deterministic and bit-identical on Spark and DuckDB by construction
+# (both engines' replace() has the same single-pass contract).
+BPE_MERGE_PASSES = 2
+
+
+def merged_symbol_count(token: Column) -> Column:
+    """Symbol count of one pre-token after applying BPE_MERGES.
+
+    The token is spelled as space-delimited characters wrapped in
+    spaces (" h e l l o "), each merge (a, b) is the plain-substring
+    replace " a b " → " ab " (delimiters on both sides, so a merged
+    multi-char symbol can never be split by a later rule matching its
+    suffix/prefix), and the count is the remaining symbol total. All
+    JVM-side string built-ins — no UDF in the hot path."""
+    s = F.concat(F.lit(" "), F.regexp_replace(token, "(.)", "$1 "))
+    for a, b in BPE_MERGES:
+        for _ in range(BPE_MERGE_PASSES):
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return F.size(F.split(F.trim(s), " ")).cast("int")
+
+
+def merged_symbol_count_sql(var: str) -> str:
+    """The DuckDB expression computing merged_symbol_count over lambda
+    variable ``var`` — generated from the SAME merge table so the
+    oracle can never drift from the operator."""
+    s = f"' ' || regexp_replace({var}, '(.)', '\\1 ', 'g')"
+    for a, b in BPE_MERGES:
+        for _ in range(BPE_MERGE_PASSES):
+            s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return f"len(string_split(trim({s}), ' '))"
+
+
 def fingerprint(text_col: str = "text", prefix_tokens: int = 8) -> Column:
     """Document fingerprint: md5 over the first-k-token prefix — a
     cheap normalization-collision fingerprint (near-dup blocking key).

@@ -1,26 +1,33 @@
-"""Streaming CEP (complex-event-processing) pattern detection.
+"""Streaming CEP (complex-event-processing) pattern detection,
+parameterized over the pattern.
 
-The batch form (queries_ext.q_cep_user_agent_tool) is a lead()-window
-scan; this is the STREAMING form of the same pattern — user → agent →
-tool-call in three consecutive turns within a time bound — detected
-across micro-batch boundaries with applyInPandasWithState. Per
-conversation the state holds the last TWO turns plus the cursor
-high-water mark, so:
+A pattern is a fixed-length sequence of per-turn predicates
+(``Step``), matched against CONSECUTIVE turns of one conversation
+within a time bound. The batch form of each pattern is a lead()-window
+scan (queries_ext.q_cep_user_agent_tool / q_cep_tool_retry); this is
+the STREAMING form — the same match semantics detected across
+micro-batch boundaries with applyInPandasWithState. Per conversation
+the state holds the last k-1 turns plus the cursor high-water mark
+(k = pattern length), so:
 
-- a triple split across micro-batches is still detected (the pending
+- a match split across micro-batches is still detected (the pending
   turns bridge the boundary);
-- each match is emitted exactly once (a triple fires when its THIRD
+- each match is emitted exactly once (a k-tuple fires when its LAST
   turn arrives, and replayed turns are rejected by the cursor —
   dstream's LSN-regression rule, docs/plugins/mssql-ingester.md:84-87);
-- state is O(1) per conversation: two turns + one int, regardless of
-  stream length — the property that holds at 10^12 turns.
+- state is O(k) per conversation — constant for a fixed pattern,
+  regardless of stream length: the property that holds at 10^12 turns.
 
-The reference's polling loop has no pattern language at all; this is
-the engine's CEP surface named by the north rule, oracle-checked
-against the batch lead()-window SQL.
+The reference's polling loop has no pattern language at all; the
+nearest analog is provider-composable tasks (docs/design/design.md:
+87-101) — a config-declared sequence the engine executes. Each shipped
+pattern is oracle-checked against its batch lead()-window SQL.
 """
 
 from __future__ import annotations
+
+import json
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -29,98 +36,131 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 CEP_OUT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
-        T.StructField("user_turn", T.IntegerType()),
+        T.StructField("first_turn", T.IntegerType()),
         T.StructField("tool", T.StringType()),
         T.StructField("span_s", T.LongType()),
     ]
 )
 
-# last two turns (a = older, b = latest) + span bound; idx_b doubles as
-# the cursor high-water mark
-_CEP_STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("role_a", T.StringType()),
-        T.StructField("tool_a", T.StringType()),
-        T.StructField("t_a", T.LongType()),
-        T.StructField("idx_a", T.IntegerType()),
-        T.StructField("role_b", T.StringType()),
-        T.StructField("tool_b", T.StringType()),
-        T.StructField("t_b", T.LongType()),
-        T.StructField("idx_b", T.IntegerType()),
-    ]
-)
+# state = one JSON document: {"c": cursor high-water mark,
+# "p": [[role, tool, epoch_s, turn_idx] × (k-1) pending turns]}.
+# A single string field keeps the schema independent of pattern
+# length, so every pattern shares one state layout.
+CEP_STATE_SCHEMA = T.StructType([T.StructField("js", T.StringType())])
 
-PATTERN_SPAN_S = 64800  # whole triple inside 18 h (fixture cadence is hours)
+PATTERN_SPAN_S = 64800  # whole sequence inside 18 h (fixture cadence is hours)
 
 
-def _cep_fn(key, pdfs, state):
-    import pandas as pd
+@dataclass(frozen=True)
+class Step:
+    """One turn-level predicate of a CEP pattern: required role (None =
+    any) and whether a tool call must be present."""
 
-    conv_id = key[0]
-    if state.exists:
-        role_a, tool_a, t_a, idx_a, role_b, tool_b, t_b, idx_b = state.get
-    else:
-        role_a = tool_a = t_a = idx_a = role_b = tool_b = t_b = idx_b = None
+    role: str | None = None
+    tool_required: bool = False
 
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    if idx_b is not None:
-        batch = batch[batch["turn_idx"] > idx_b]  # cursor: reject replays
-    if not len(batch):
-        return
-    batch = batch.sort_values("turn_idx").drop_duplicates(subset=["turn_idx"], keep="first")
+    def matches(self, role, tool) -> bool:
+        if self.role is not None and role != self.role:
+            return False
+        if self.tool_required and not isinstance(tool, str):
+            return False  # null arrives as None OR NaN
+        return True
 
-    roles = batch["role"].tolist()
-    tools = batch["tool"].tolist()
-    ts = (batch["ts"].astype("int64") // 10**9).tolist()
-    idxs = batch["turn_idx"].astype("int64").tolist()
-    # bridge the micro-batch boundary with the two pending turns
-    for r, tl, t, i in ((role_b, tool_b, t_b, idx_b), (role_a, tool_a, t_a, idx_a)):
-        if i is not None:
-            roles.insert(0, r)
-            tools.insert(0, tl)
-            ts.insert(0, t)
-            idxs.insert(0, i)
 
-    n_pending = len(roles) - len(batch)
-    out = []
-    # a triple fires when its third element arrives in THIS batch
-    for k in range(max(2, n_pending), len(roles)):
-        if (
-            roles[k - 2] == "user"
-            and roles[k - 1] == "agent"
-            and isinstance(tools[k], str)  # None arrives as None OR NaN
-            and ts[k] - ts[k - 2] <= PATTERN_SPAN_S
-        ):
-            out.append((conv_id, int(idxs[k - 2]), tools[k], int(ts[k] - ts[k - 2])))
+# the shipped patterns (each has a batch lead()-window twin + oracle)
+USER_AGENT_TOOL = (
+    Step(role="user"),
+    Step(role="agent"),
+    Step(tool_required=True),
+)  # "agent acted on a user request with a tool"
+TOOL_AGENT_TOOL = (
+    Step(role="tool", tool_required=True),
+    Step(role="agent"),
+    Step(role="tool", tool_required=True),
+)  # "tool error -> agent intervention -> tool retry"
 
-    last, prev = len(roles) - 1, len(roles) - 2
-    state.update(
-        (
-            roles[prev] if prev >= 0 else None,
-            tools[prev] if prev >= 0 else None,
-            int(ts[prev]) if prev >= 0 else None,
-            int(idxs[prev]) if prev >= 0 else None,
-            roles[last],
-            tools[last],
-            int(ts[last]),
-            int(idxs[last]),
+
+def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S):
+    """Build the applyInPandasWithState body for ``pattern``: emits
+    (conv_id, first_turn, tool-of-last-step, span_s) once per match of
+    len(pattern) CONSECUTIVE turns whose first→last gap <= span_s."""
+    k = len(pattern)
+    if k < 2:
+        raise ValueError("a CEP pattern needs at least 2 steps")
+
+    def cep_fn(key, pdfs, state):
+        import pandas as pd
+
+        conv_id = key[0]
+        cursor, pending = -1, []
+        if state.exists:
+            meta = json.loads(state.get[0])
+            cursor, pending = meta["c"], meta["p"]
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["turn_idx"] > cursor]  # cursor: reject replays
+        if not len(batch):
+            return
+        batch = batch.sort_values("turn_idx").drop_duplicates(
+            subset=["turn_idx"], keep="first"
         )
-    )
-    if out:
-        yield pd.DataFrame(out, columns=[f.name for f in CEP_OUT_SCHEMA.fields])
+
+        rows = list(pending) + [
+            [r, (tl if isinstance(tl, str) else None), int(t), int(i)]
+            for r, tl, t, i in zip(
+                batch["role"],
+                batch["tool"],
+                batch["ts"].astype("int64") // 10**9,
+                batch["turn_idx"].astype("int64"),
+            )
+        ]
+        n_pending = len(pending)
+        out = []
+        # a match fires when its LAST step arrives in THIS batch
+        for e in range(max(k - 1, n_pending), len(rows)):
+            window = rows[e - k + 1 : e + 1]
+            if (
+                all(s.matches(w[0], w[1]) for s, w in zip(pattern, window))
+                and window[-1][2] - window[0][2] <= span_s
+            ):
+                out.append(
+                    (
+                        conv_id,
+                        int(window[0][3]),
+                        window[-1][1],
+                        int(window[-1][2] - window[0][2]),
+                    )
+                )
+
+        state.update(
+            (json.dumps({"c": int(rows[-1][3]), "p": rows[-(k - 1):]}),)
+        )
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in CEP_OUT_SCHEMA.fields])
+
+    return cep_fn
 
 
-def cep_pattern_stream(df: DataFrame) -> DataFrame:
-    """user → agent → tool-call triples over a streaming transcript
-    feed (in turn order per conversation, as the changefeed delivers
-    them); each match emitted exactly once, across batch boundaries."""
+# backward-compatible name: the default-pattern body (unit tests drive
+# it directly with a fake state)
+_cep_fn = make_cep_fn(USER_AGENT_TOOL)
+
+
+def cep_pattern_stream(
+    df: DataFrame,
+    pattern: tuple[Step, ...] = USER_AGENT_TOOL,
+    span_s: int = PATTERN_SPAN_S,
+) -> DataFrame:
+    """Pattern matches over a streaming transcript feed (in turn order
+    per conversation, as the changefeed delivers them); each match
+    emitted exactly once, across batch boundaries."""
     return (
         df.select("conv_id", "turn_idx", "role", "tool", "ts")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _cep_fn,
+            make_cep_fn(pattern, span_s),
             outputStructType=CEP_OUT_SCHEMA,
-            stateStructType=_CEP_STATE_SCHEMA,
+            stateStructType=CEP_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -1071,7 +1071,9 @@ QUERIES: dict[str, Query] = {
     "docs_simhash_dups": Query(q_docs_simhash_dups, ORACLES["docs_simhash_dups"]),
     "stream_tumbling_counts": Query(
         _stream_tumbling, ORACLES["tumbling_counts"],
-        "REAL Structured Streaming run (complete mode) vs the batch oracle",
+        "ORACLE FORM ONLY: complete-mode memory sink re-emits all "
+        "window state per batch (unbounded at scale) — the shipped "
+        "plan is stream_window_sink (update mode -> keyed MERGE)",
     ),
     "stream_exactly_once": Query(
         _stream_exactly_once, ORACLES["relay_identity"],
@@ -1106,7 +1108,9 @@ QUERIES: dict[str, Query] = {
     ),
     "stream_sliding_counts": Query(
         _stream_sliding, ORACLES["sliding_counts"],
-        "REAL streaming sliding windows (complete mode) vs the batch oracle",
+        "ORACLE FORM ONLY: complete-mode memory sink holds every "
+        "sliding window forever — scale path is the watermark-bounded "
+        "append/update forms (stream_window_sink et al.)",
     ),
     "stream_window_sink": Query(
         _stream_window_sink, ORACLES["tumbling_counts"],
@@ -1149,55 +1153,62 @@ QUERIES.update(LLM_QUERIES)
 # subset of this registry in iteration order, so entries WITHOUT a
 # green CORRECTNESS row from a prior round lead the dict — every
 # claimed operator accumulates a hard-signal row over the rounds.
-# First block: never driver-gated through r2; second block: gated
-# (green) in r1 only; tail: green in CORRECTNESS_r02.json.
+# Round-4 rotation (r3 verdict task #1): the NEW r4 entries lead,
+# followed by the 43 entries whose last green row is from r2 — the r3
+# refactors (fan_out / CommitProtocol / queries_base split) touched
+# code under most of them, so CORRECTNESS_r04 re-gates all of them and
+# completes a second full-registry sweep (r3 ∪ r4 = everything).
 _GATE_PRIORITY = [
-    # new in r3 (never gated)
-    "stream_cdc_deletes",
-    "docs_dup_clusters",
-    "stream_hourly_daily_rollup",
-    "stream_dedup_sessions",
-    "conv_gap_median_udaf",
-    "role_transitions",
-    "tpch_q7",
-    "stream_cep_pattern",
-    "stream_tool_left_join",
-    "docs_simhash_wide_dups",
-    "docs_hash_split",
-    "docs_repetition",
-    "docs_pack_greedy",
-    "docs_decontaminate",
-    "cep_user_agent_tool",
-    "tpch_q12",
-    "tpch_q19",
-    # never gated (r1, r2)
-    "multimodal_resize",
-    "multimodal_frames",
-    "event_value_percentiles",
-    "envelope_parse",
-    "conv_renumber",
-    "tpch_q14",
-    "tpch_q18",
-    "emb_ivf_topk",
-    "docs_bpe_tokens",
-    "emb_lsh_buckets",
-    "emb_lsh_pairs",
-    "emb_kmeans_step",
-    "cube_event_stats",
-    "tool_correlation_salted",
-    "stream_dedup_watermark",
-    # green in r1 only
-    "customers_without_orders",
-    "conv_first_last",
-    "term_frequency",
-    "multimodal_features",
-    "envelope_projection",
-    "users_click_and_error",
-    "pandas_udf_norm",
-    "stream_tool_join",
-    "tpch_q4",
-    "tpch_q10",
-    "emb_near_dup_pairs",
+    # new in r4 (never gated)
+    "docs_para_dedup",
+    "docs_bpe_merged",
+    "cep_tool_retry",
+    "stream_cep_retry",
+    "emb_kmeans_converged",
+    # last green in r2, refactored under in r3 (registry minus r3 keys)
+    "tool_correlation",
+    "lineage_summary",
+    "skew_salted_agg",
+    "watermark_late_drop",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_events_per_user",
+    "daily_event_mix",
+    "clicked_never_purchased",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_langid",
+    "docs_langid_ngram",
+    "docs_rolling_hash",
+    "docs_fingerprint",
+    "docs_exact_dedup",
+    "docs_ngram_jaccard",
+    "docs_ngram_jaccard_capped",
+    "docs_minhash_bands",
+    "docs_minhash_pairs",
+    "docs_minhash_verified",
+    "docs_simhash",
+    "docs_simhash_dups",
+    "stream_tumbling_counts",
+    "stream_exactly_once",
+    "stream_cursor_dedup",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_window_sink",
+    "stream_multi_sink",
+    "stream_static_enrich",
+    "emb_norms",
+    "emb_cosine_topk",
+    "emb_ivf_assign",
+    "asof_join_tool",
+    "running_turn_counts",
+    "turn_gaps",
+    "rollup_event_stats",
+    "conv_role_pivot",
+    "median_value_by_type",
+    "orders_with_late_lineitems",
 ]
 assert all(n in QUERIES for n in _GATE_PRIORITY), "stale gate-priority name"
 QUERIES = {

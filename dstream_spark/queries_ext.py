@@ -9,7 +9,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dstream_spark.fixtures.transcripts import register_tables
-from dstream_spark.queries_base import IDENTITY_SQL, Query, _t_sql, _transcripts, fan_out
+from dstream_spark.queries_base import (
+    IDENTITY_SQL,
+    Query,
+    _materialize,
+    _t_sql,
+    _transcripts,
+    fan_out,
+)
 
 
 def q_asof_join_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +487,9 @@ def q_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _scratch("cep")
     _write_feed(spark, sf_dir, feed, n_batches=4, split_by_turn=True, replay_batch0=True)
     src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
-    out = cep_pattern_stream(src)
+    # the generalized operator emits first_turn; this entry's oracle
+    # predates the parameterization and names it user_turn
+    out = cep_pattern_stream(src).withColumnRenamed("first_turn", "user_turn")
     name = f"cep_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.outputMode("append")
@@ -681,6 +690,71 @@ def q_cep_user_agent_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cep_tool_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND shipped CEP pattern through the same machinery:
+    tool-error → agent intervention → tool retry in three consecutive
+    turns within 18 h (operators/cep.TOOL_AGENT_TOOL). Batch form =
+    one lead()-window scan over (conv_id, turn_idx) — same linear
+    shape as cep_user_agent_tool; the point is that a pattern is now
+    CONFIG (a tuple of Step predicates), not a bespoke operator."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    seq = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        epoch.alias("t0"),
+        F.lead("role", 1).over(w).alias("role1"),
+        F.lead("role", 2).over(w).alias("role2"),
+        F.lead("tool", 2).over(w).alias("tool2"),
+        F.lead(epoch, 2).over(w).alias("t2"),
+    )
+    return seq.filter(
+        (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & (F.col("role1") == "agent")
+        & (F.col("role2") == "tool")
+        & F.col("tool2").isNotNull()
+        & (F.col("t2") - F.col("t0") <= 64800)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("first_turn"),
+        F.col("tool2").alias("tool"),
+        (F.col("t2") - F.col("t0")).alias("span_s"),
+    )
+
+
+def q_stream_cep_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of the tool-retry pattern: the PARAMETERIZED CEP
+    operator (cep_pattern_stream with TOOL_AGENT_TOOL) over a
+    turn-ordered change feed with a replayed batch — same state
+    machinery as stream_cep_pattern, different Step predicates, so a
+    pattern really is configuration. Oracle: the batch lead()-window
+    twin (q_cep_tool_retry's SQL)."""
+    import uuid
+
+    from dstream_spark.operators.cep import TOOL_AGENT_TOOL, cep_pattern_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("cepretry")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_turn=True, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = cep_pattern_stream(src, pattern=TOOL_AGENT_TOOL)
+    name = f"cepretry_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 NEAR_DUP_MAX_ROWS = 100_000  # O(n²) verifier refuses full corpora
 
 
@@ -698,12 +772,14 @@ def q_emb_near_dup_pairs(
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
     if not force:
-        n = e.count()
-        if n > NEAR_DUP_MAX_ROWS:
+        # bounded row guard: limit(N+1).count() scans at most N+1 rows
+        # (a full e.count() on every gate/bench invocation is wasted
+        # work, and at real scale the guard itself must stay cheap)
+        if e.limit(NEAR_DUP_MAX_ROWS + 1).count() > NEAR_DUP_MAX_ROWS:
             raise ValueError(
-                f"emb_near_dup_pairs is the O(n²) recall VERIFIER; corpus has "
-                f"{n} rows (> {NEAR_DUP_MAX_ROWS}). Verify on a sample, or use "
-                "emb_lsh_pairs / emb_ivf_topk for the full corpus "
+                f"emb_near_dup_pairs is the O(n²) recall VERIFIER; corpus "
+                f"exceeds {NEAR_DUP_MAX_ROWS} rows. Verify on a sample, or "
+                "use emb_lsh_pairs / emb_ivf_topk for the full corpus "
                 "(force=True to override)."
             )
     a = fan_out(e).select(
@@ -790,6 +866,70 @@ def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sq").cast("double") / (F.col("n").cast("double") * 1000000.0)).alias("mean"),
         )
     )
+
+
+KMEANS_ROUNDS_CAP = 10  # must match the `p.it + 1 <= 10` cap in the oracle
+
+
+def q_emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means TO CONVERGENCE (bounded): iterate
+    emb_kmeans_step's assign→update until the assignment reaches a
+    fixpoint or KMEANS_ROUNDS_CAP rounds. Each round is fully
+    relational — broadcast centroids, one partial-aggregated exchange
+    for the means, assignments landed to scratch parquet
+    (_materialize: iterative lineage must not compound) — and the
+    driver reads ONE scalar per round (the changed-assignment count),
+    the same discipline as docs_dup_clusters' connected-components
+    loop (queries_llm.py). The fixpoint is well-defined cross-engine
+    because means use the exact-integer trick and assignment uses the
+    round-6 cosine with (sim DESC, c_id ASC) tiebreaks. Oracle: a
+    DuckDB recursive CTE that re-derives centroids from the packed
+    previous assignment each step and stops on no-change or the cap.
+    Output: final (vec_id, c_id) + n_rounds (rounds that changed)."""
+    from dstream_spark.functions.similarity import ivf_assign
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = _materialize(
+        fan_out(spark.table("embeddings")).select("vec_id", "embedding"), "km_e"
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = _materialize(ivf_assign(e, cents).select("vec_id", "c_id"), "km_a0")
+    rounds = 0
+    for _ in range(KMEANS_ROUNDS_CAP):
+        dims = (
+            assigned.join(e, "vec_id")
+            .select("c_id", F.posexplode(F.col("embedding")).alias("pos", "val"))
+            .withColumn(
+                "q", F.floor(F.col("val").cast("double") * 1000000 + 0.5).cast("long")
+            )
+        )
+        means = dims.groupBy("c_id", "pos").agg(
+            (
+                F.sum("q").cast("double") / (F.count(F.lit(1)).cast("double") * 1000000.0)
+            ).alias("mean")
+        )
+        new_cents = means.groupBy("c_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda s: s.getField("mean"),
+            ).alias("c_vec")
+        )
+        new_assigned = _materialize(
+            ivf_assign(e, new_cents).select("vec_id", "c_id"), "km_a"
+        )
+        changed = (
+            new_assigned.alias("n")
+            .join(assigned.alias("o"), "vec_id")
+            .filter(F.col("n.c_id") != F.col("o.c_id"))
+            .count()
+        )
+        if changed == 0:
+            break
+        assigned = new_assigned
+        rounds += 1
+    return assigned.withColumn("n_rounds", F.lit(rounds).cast("int"))
 
 
 def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,6 +1338,23 @@ SELECT conv_id, turn_idx AS user_turn, tool2 AS tool, t2 - t0 AS span_s
 FROM seq
 WHERE role = 'user' AND role1 = 'agent' AND tool2 IS NOT NULL AND t2 - t0 <= 64800"""
     ),
+    "cep_tool_retry": _t_sql(
+        """
+, seq AS (
+  SELECT conv_id, turn_idx, role, tool,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0,
+         lead(role, 1) OVER w AS role1,
+         lead(role, 2) OVER w AS role2,
+         lead(tool, 2) OVER w AS tool2,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS first_turn, tool2 AS tool, t2 - t0 AS span_s
+FROM seq
+WHERE role = 'tool' AND tool IS NOT NULL AND role1 = 'agent'
+  AND role2 = 'tool' AND tool2 IS NOT NULL AND t2 - t0 <= 64800"""
+    ),
     "tpch_q12": """
 SELECT l_linestatus,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -1255,6 +1412,68 @@ WITH p AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 )
 SELECT ia, ib, cos FROM p WHERE cos >= 0.4""",
+    # recursive fixpoint k-means: the recursive arm references `assign`
+    # exactly ONCE (packed into a scalar struct), re-derives centroids
+    # from the packed assignment, and stops when no vector moves or
+    # the cap is hit — mirroring the Spark loop's scalar-per-round
+    # convergence check
+    "emb_kmeans_converged": """
+WITH RECURSIVE assign(iter, vec_id, c_id) AS (
+  SELECT 0, vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])))), 6) DESC,
+               c.c_id ASC) AS rn
+    FROM embeddings e
+    JOIN (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8) c ON TRUE
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT p.it + 1, nx.vec_id, nx.c_id
+  FROM (
+    SELECT struct_pack(it := max(iter), a := list(struct_pack(v := vec_id, c := c_id))) AS pk
+    FROM assign
+  ) AS packed(pk),
+  LATERAL (SELECT pk.it AS it) AS p,
+  LATERAL (
+    WITH cur AS (
+      SELECT u.v AS vec_id, u.c AS c_id
+      FROM (SELECT unnest(pk.a) AS u)
+    ), dims AS (
+      SELECT cur.c_id,
+             unnest(generate_series(1, len(e.embedding))) - 1 AS pos,
+             unnest(CAST(e.embedding AS DOUBLE[])) AS val
+      FROM cur JOIN embeddings e USING (vec_id)
+    ), means AS (
+      SELECT c_id, pos,
+             CAST(SUM(CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
+      FROM dims GROUP BY 1, 2
+    ), cents AS (
+      SELECT c_id, list(mean ORDER BY pos) AS c_vec FROM means GROUP BY 1
+    ), nxt AS (
+      SELECT vec_id, c_id FROM (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_vec) /
+                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC,
+                   c.c_id ASC) AS rn
+        FROM embeddings e JOIN cents c ON TRUE
+      ) WHERE rn = 1
+    )
+    SELECT n.vec_id, n.c_id,
+           max(CASE WHEN n.c_id != cur.c_id THEN 1 ELSE 0 END) OVER () AS changed_any
+    FROM nxt n JOIN cur USING (vec_id)
+  ) AS nx
+  WHERE nx.changed_any = 1 AND p.it + 1 <= 10
+)
+SELECT vec_id, c_id,
+       CAST((SELECT max(iter) FROM assign) AS INT) AS n_rounds
+FROM assign WHERE iter = (SELECT max(iter) FROM assign)""",
     "emb_kmeans_step": """
 WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
 scored_c AS (
@@ -1370,6 +1589,16 @@ EXT_QUERIES: dict[str, Query] = {
         "STREAMING CEP via applyInPandasWithState (last-2-turns state, "
         "cursor-exactly-once, cross-batch triples) == batch window scan",
     ),
+    "cep_tool_retry": Query(
+        q_cep_tool_retry, EXT_ORACLES["cep_tool_retry"],
+        "second CEP pattern (tool-error→agent→tool retry) — a pattern "
+        "is Step-predicate CONFIG, not a bespoke operator",
+    ),
+    "stream_cep_retry": Query(
+        q_stream_cep_retry, EXT_ORACLES["cep_tool_retry"],
+        "the PARAMETERIZED streaming CEP operator running the retry "
+        "pattern (TOOL_AGENT_TOOL) == its batch lead()-window twin",
+    ),
     "stream_tool_left_join": Query(
         q_stream_tool_left_join, EXT_ORACLES["stream_tool_left_join"],
         "LEFT OUTER stream-stream interval join — null rows exactly at "
@@ -1400,6 +1629,11 @@ EXT_QUERIES: dict[str, Query] = {
     "emb_lsh_buckets": Query(q_emb_lsh_buckets, EXT_ORACLES["emb_lsh_buckets"]),
     "emb_lsh_pairs": Query(q_emb_lsh_pairs, EXT_ORACLES["emb_lsh_pairs"]),
     "emb_kmeans_step": Query(q_emb_kmeans_step, EXT_ORACLES["emb_kmeans_step"]),
+    "emb_kmeans_converged": Query(
+        q_emb_kmeans_converged, EXT_ORACLES["emb_kmeans_converged"],
+        "iterative k-means to a bounded fixpoint; scalar-only driver "
+        "reads; oracle = DuckDB recursive CTE with packed-state steps",
+    ),
     "cube_event_stats": Query(q_cube_event_stats, EXT_ORACLES["cube_event_stats"]),
     "tool_correlation_salted": Query(
         q_tool_correlation_salted,

@@ -239,6 +239,99 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARA_TOKENS = 8  # paragraph convention: consecutive 8-token chunks
+
+
+def q_docs_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document (paragraph-level) dedup — the granularity that
+    catches boilerplate headers/footers shared across otherwise
+    distinct documents. The fixture corpus has no newlines, so the
+    paragraph convention is consecutive PARA_TOKENS-token chunks
+    (deterministic segmentation both engines compute identically).
+    Shape: explode paragraphs → md5 → hash-groupBy (ONE shuffle on the
+    16-byte hash, matching docs_exact_dedup's plan, queries.py:332) →
+    join counts back → per-doc rollup. Output per document: paragraph
+    count, duplicated-paragraph count (hash seen >1× corpus-wide),
+    owned-representative count (this doc is the min-doc_id holder of
+    the hash), and the duplication ratio (one double division of exact
+    BIGINTs — the cross-engine float convention)."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(PARA_TOKENS)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)
+        ),
+    )
+    inst = fan_out(d).select(
+        "doc_id", F.explode(paras).alias("para")
+    ).select("doc_id", F.md5("para").alias("para_md5"))
+    cnt = inst.groupBy("para_md5").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("rep_doc_id")
+    )
+    per_doc = (
+        inst.join(cnt, "para_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_paras"),
+        )
+    )
+    owned = cnt.groupBy(F.col("rep_doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_owned")
+    )
+    return (
+        per_doc.join(owned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            F.coalesce(F.col("n_owned"), F.lit(0)).cast("bigint").alias("n_owned"),
+            (
+                F.col("n_dup_paras").cast("double") / F.col("n_paras").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def q_docs_bpe_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merges-table-driven BPE token counting — the count a
+    token-budget packer (docs_pack_greedy) consumes in production,
+    upgrading docs_bpe_tokens' pre-token run count. Each pre-token
+    (letter/digit/punct run) is spelled as delimiter-safe characters
+    and the ordered merge table (functions/text.BPE_MERGES, the
+    fixture's merges.txt) is applied as plain-substring replaces —
+    all JVM string built-ins inside one projection, no UDF, no
+    shuffle. The oracle's merge expression is GENERATED from the same
+    Python constant, so operator and oracle cannot drift."""
+    from dstream_spark.functions import text as textfn
+
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    pre = textfn.bpe_tokens("text")
+    counts = F.transform(pre, textfn.merged_symbol_count)
+    n_pre = F.size(pre).cast("int")
+    n_merged = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    return fan_out(d).select(
+        "doc_id",
+        n_pre.alias("n_pretokens"),
+        n_merged.alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_pretokens",
+        "n_bpe_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double") / F.col("n_pretokens").cast("double")
+        ).alias("symbols_per_pretoken"),
+    )
+
+
 def _simhash_sql(bits: int) -> tuple[str, str]:
     """DuckDB form of functions.dedup_text.simhash_table(bits): per-bit
     token votes from md5 hex nibbles, then the positive-vote combine
@@ -255,7 +348,53 @@ def _simhash_sql(bits: int) -> tuple[str, str]:
 
 _W_BIT_SUMS, _W_COMBINE = _simhash_sql(48)
 
+def _bpe_merged_sql() -> str:
+    from dstream_spark.functions.text import merged_symbol_count_sql
+
+    cnt = (
+        "CAST(coalesce(list_sum(list_transform(pts, t -> "
+        + merged_symbol_count_sql("t")
+        + ")), 0) AS BIGINT)"
+    )
+    return f"""
+WITH pre AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0) AS pts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pts) AS INT) AS n_pretokens,
+       {cnt} AS n_bpe_tokens,
+       CAST({cnt} AS DOUBLE) / CAST(len(pts) AS DOUBLE) AS symbols_per_pretoken
+FROM pre"""
+
+
 LLM_ORACLES: dict[str, str] = {
+    "docs_para_dedup": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), inst AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, CAST(ceil(len(tk) / {PARA_TOKENS}.0) AS BIGINT)),
+           i -> md5(array_to_string(tk[(i-1)*{PARA_TOKENS}+1 : (i-1)*{PARA_TOKENS}+{PARA_TOKENS}], ' '))
+         )) AS para_md5
+  FROM toks
+), cnt AS (
+  SELECT para_md5, count(*) AS n_copies, min(doc_id) AS rep_doc_id
+  FROM inst GROUP BY 1
+), pd AS (
+  SELECT i.doc_id, count(*) AS n_paras,
+         CAST(sum(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+  FROM inst i JOIN cnt c USING (para_md5) GROUP BY 1
+), ow AS (
+  SELECT rep_doc_id AS doc_id, count(*) AS n_owned FROM cnt GROUP BY 1
+)
+SELECT pd.doc_id, pd.n_paras, pd.n_dup_paras,
+       CAST(coalesce(ow.n_owned, 0) AS BIGINT) AS n_owned,
+       CAST(pd.n_dup_paras AS DOUBLE) / CAST(pd.n_paras AS DOUBLE) AS dup_ratio
+FROM pd LEFT JOIN ow USING (doc_id)""",
+    "docs_bpe_merged": _bpe_merged_sql(),
     # cluster_id = min reachable doc over the undirected pair graph —
     # exactly what min-label propagation converges to
     "docs_dup_clusters": f"""
@@ -346,6 +485,17 @@ GROUP BY 1""",
 }
 
 LLM_QUERIES: dict[str, Query] = {
+    "docs_para_dedup": Query(
+        q_docs_para_dedup, LLM_ORACLES["docs_para_dedup"],
+        "sub-document (8-token paragraph) dedup: one shuffle on the "
+        "16-byte hash; per-doc dup ratio + representative ownership",
+    ),
+    "docs_bpe_merged": Query(
+        q_docs_bpe_merged, LLM_ORACLES["docs_bpe_merged"],
+        "merges-table BPE token count (ordered merge ranks applied as "
+        "delimiter-safe replaces, JVM-side); oracle generated from the "
+        "same merge table",
+    ),
     "docs_hash_split": Query(
         q_docs_hash_split, LLM_ORACLES["docs_hash_split"],
         "deterministic 80/10/10 split from md5(doc_id); shuffle-free projection",

@@ -325,6 +325,15 @@ class MergeSink:
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
 
     # -- readers ------------------------------------------------------
+    def _empty_table(self, spark: SparkSession) -> DataFrame:
+        """Zero-row frame carrying the sink's DECLARED key and order
+        columns (string-typed placeholders), so a caller's
+        ``.select(*keys)`` on a never-committed sink returns empty
+        instead of AnalysisException — e.g. a window-keyed sink
+        (w_start, conv_id) before its first commit."""
+        cols = list(dict.fromkeys((*self.keys, *self.order_cols)))
+        return spark.createDataFrame([], schema=", ".join(f"`{c}` string" for c in cols))
+
     def read_table(self, spark: SparkSession) -> DataFrame:
         """Committed rows only, latest version per key. Path resolution
         can race a concurrent compact()'s final cleanup (the resolved
@@ -332,13 +341,13 @@ class MergeSink:
         retry once; the post-compact committed set is self-consistent."""
         committed = self.committed_batches()
         if not committed:
-            return spark.createDataFrame([], schema="conv_id string")
+            return self._empty_table(spark)
         try:
             df = self.protocol.data_read(spark, committed)
         except Exception:
             committed = self.committed_batches()
             if not committed:
-                return spark.createDataFrame([], schema="conv_id string")
+                return self._empty_table(spark)
             df = self.protocol.data_read(spark, committed)
         if self.version_col and self.version_col in df.columns:
             return apply_changes(df, self.keys, self.version_col).drop("batch_id")
@@ -346,7 +355,14 @@ class MergeSink:
         return df.dropDuplicates(w_cols).drop("batch_id")
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
-        return self.protocol.lineage_read(spark)
+        """Same resolve-retry as read_table: a marker retired by a
+        racing compact()'s swap_base between committed_batches() and
+        the marker read raises — re-resolve once against the
+        post-compact (self-consistent) commit set."""
+        try:
+            return self.protocol.lineage_read(spark)
+        except Exception:
+            return self.protocol.lineage_read(spark)
 
     # -- maintenance ---------------------------------------------------
     def compact(self, spark: SparkSession) -> int:

@@ -39,10 +39,15 @@ def observed_row_bytes(path: str, sample_files: int = 16) -> float | None:
     tot_bytes = tot_rows = 0
     for f in files:
         try:
-            tot_bytes += os.path.getsize(f)
-            tot_rows += pq.ParquetFile(f).metadata.num_rows
-        except OSError:
-            continue  # file replaced/retired mid-sample
+            # read BOTH facts before counting either, so a failure
+            # between them (torn footer → ArrowInvalid, replaced file →
+            # OSError) can't skew the bytes/rows average
+            size = os.path.getsize(f)
+            rows = pq.ParquetFile(f).metadata.num_rows
+        except Exception:  # noqa: BLE001 — torn/retired mid-sample
+            continue
+        tot_bytes += size
+        tot_rows += rows
     return (tot_bytes / tot_rows) if tot_rows else None
 
 

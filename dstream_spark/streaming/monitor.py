@@ -9,12 +9,24 @@ lock) and sink — sharing a single SparkSession/cluster. Queries run
 concurrently on the scheduler; an exception in one terminates only
 that query.
 
+The second half of D6 is retry: the reference re-polls a failed batch
+with backoff WITHOUT advancing the table's cursor
+(docs/capability-inventory.md:195-199). ``supervise`` is that loop —
+a failed table restarts from its own checkpoint after an exponential
+backoff (Spark never committed the failed epoch, and the sink's
+commit markers make the re-run exactly-once), while healthy tables
+stream uninterrupted. Backoff is tracked per table as a
+next-retry-at deadline, so one table's wait never blocks another's
+supervision.
+
 This is deliberately NOT a union-then-partitionBy single query: a
 shared query couples the tables' failure domains and checkpoints,
 which is exactly what the reference avoids.
 """
 
 from __future__ import annotations
+
+import time
 
 from pyspark.sql import SparkSession
 
@@ -57,6 +69,88 @@ class Monitor:
                         p.query.awaitTermination(timeout=timeout_s)
                     except Exception:
                         pass
+
+    def supervise(
+        self,
+        owner: str = "driver",
+        max_retries: int = 3,
+        base_backoff_s: float = 0.2,
+        poll_s: float = 0.05,
+        timeout_s: float = 120.0,
+    ) -> dict:
+        """Run every table to completion with per-table
+        retry-with-backoff (D6's second half). A table whose query
+        terminates with an exception is restarted from ITS OWN
+        checkpoint after ``base_backoff_s * 2**attempt`` — the failed
+        epoch was never committed (Spark only advances offsets on a
+        successful foreachBatch), so the restart replays it and the
+        sink's commit markers keep the overlap exactly-once. Retries
+        are capped; a table that exhausts them is left failed, the
+        rest finish normally. Non-blocking: backoff is a per-table
+        deadline checked in one poll loop, so a backing-off table
+        never delays a healthy one.
+
+        Assumes availableNow-style triggers (a healthy query
+        terminates when drained). Returns per-table
+        {"retries": n, "ok": bool, "error": str | None}.
+        """
+        report = {
+            name: {"retries": 0, "ok": False, "error": None}
+            for name in self.pipelines
+        }
+        # tables whose initial start already failed (run_all recorded an
+        # exception) begin in the retry queue; running ones in "active"
+        retry_at: dict[str, float] = {}
+        done: set[str] = set()
+        for name, p in self.pipelines.items():
+            if p.query is None:
+                retry_at[name] = time.monotonic() + base_backoff_s
+        deadline = time.monotonic() + timeout_s
+        while len(done) < len(self.pipelines) and time.monotonic() < deadline:
+            for name, p in self.pipelines.items():
+                if name in done:
+                    continue
+                now = time.monotonic()
+                if name in retry_at:
+                    if now < retry_at[name]:
+                        continue
+                    del retry_at[name]
+                    try:
+                        p.run(owner=owner)
+                    except Exception as e:  # noqa: BLE001 — start failure = a failed attempt
+                        self._record_failure(name, p, e, report, retry_at, done,
+                                             max_retries, base_backoff_s)
+                    continue
+                q = p.query
+                if q is None or q.isActive:
+                    continue
+                err = None
+                try:
+                    q.awaitTermination(timeout=1)
+                except Exception as e:  # noqa: BLE001 — the query's terminal exception
+                    err = e
+                if err is None:
+                    report[name]["ok"] = True
+                    p.stop(owner=owner)
+                    done.add(name)
+                else:
+                    p.stop(owner=owner)  # release lock/heartbeat before the retry
+                    self._record_failure(name, p, err, report, retry_at, done,
+                                         max_retries, base_backoff_s)
+            time.sleep(poll_s)
+        return report
+
+    def _record_failure(
+        self, name, p, err, report, retry_at, done, max_retries, base_backoff_s
+    ) -> None:
+        report[name]["error"] = str(err)
+        attempts = report[name]["retries"]
+        if attempts >= max_retries:
+            done.add(name)  # exhausted — leave failed, others continue
+            return
+        report[name]["retries"] = attempts + 1
+        p.query = None  # force a fresh start() from the same checkpoint
+        retry_at[name] = time.monotonic() + base_backoff_s * (2 ** attempts)
 
     def status(self) -> dict:
         return {name: p.status() for name, p in self.pipelines.items()}

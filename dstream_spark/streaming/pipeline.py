@@ -114,6 +114,36 @@ class Lock:
             return True
             # flock released when `mutex` closes
 
+    def _cas_renew(self, owner: str) -> bool:
+        """Owner renewal as a CAS: re-verify ownership and replace the
+        lock content under the same ``.cas`` flock the stale-breaker
+        uses, so a holder whose lease just expired can never clobber a
+        successor that broke the stale lock and re-claimed it between
+        the caller's read and this write (If-Match conditional PUT).
+        True = renewed; False = lock vanished (retry the claim);
+        raises LockHeldError if another owner took it."""
+        import fcntl
+
+        with open(self.path + ".cas", "w") as mutex:
+            fcntl.flock(mutex, fcntl.LOCK_EX)
+            try:
+                meta = json.load(open(self.path))
+            except FileNotFoundError:
+                return False  # released/broken — go claim it fresh
+            except (json.JSONDecodeError, OSError):
+                return False  # torn — let the claim/break path sort it
+            if meta.get("owner") != owner:
+                age = time.time() - meta.get("ts", 0)
+                raise LockHeldError(
+                    f"lock {self.path} re-owned by {meta.get('owner')} "
+                    f"({age:.0f}s old) — our lease lapsed"
+                )
+            tmp = f"{self.path}.tmp-{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "w") as f:
+                json.dump({"owner": owner, "ts": time.time()}, f)
+            os.replace(tmp, self.path)
+            return True
+
     def acquire(self, owner: str) -> None:
         for _ in range(4):  # create → (break stale → re-create) bounded retries
             if self._write_exclusive(owner):
@@ -126,13 +156,13 @@ class Lock:
                 meta = {"ts": 0}  # torn/garbage lock: age it out below
             age = time.time() - meta.get("ts", 0)
             if meta.get("owner") == owner:
-                # renewal (heartbeat): single-file replace keeps the
-                # content swap atomic for concurrent readers
-                tmp = f"{self.path}.tmp-{os.getpid()}-{threading.get_ident()}"
-                with open(tmp, "w") as f:
-                    json.dump({"owner": owner, "ts": time.time()}, f)
-                os.replace(tmp, self.path)
-                return
+                # renewal (heartbeat): ownership re-verified and the
+                # content swapped under the .cas flock — a successor
+                # that broke our expired lease between this read and
+                # the write surfaces as LockHeldError, never a clobber
+                if self._cas_renew(owner):
+                    return
+                continue  # vanished/torn under the CAS — retry claim
             if age < self.ttl_s:
                 raise LockHeldError(
                     f"lock {self.path} held by {meta.get('owner')} ({age:.0f}s old)"

@@ -72,12 +72,27 @@ def _write_feed(
             "_slice", F.least(F.lit(n_batches - 1), (F.col("turn_idx") / per).cast("int"))
         )
     elif split_by_time:
-        # event-time quantiles via ntile; ties on ts broken by the
-        # stable (conv_id, turn_idx) key so the split is deterministic
-        from pyspark.sql import Window
-
-        w = Window.orderBy("ts", "conv_id", "turn_idx")
-        sliced = t.withColumn("_slice", F.ntile(n_batches).over(w) - 1)
+        # batch b = the b-th equal-width event-time RANGE (scalar
+        # min/max bounds only — no global Window.orderBy, which plans a
+        # SinglePartition sort, the exact shape PLANS.md bans). Ranges
+        # are disjoint and ordered, so arrival is still strictly
+        # time-ordered across batches and fully deterministic.
+        # TIMESTAMP_NTZ → epoch seconds via an intermediate TIMESTAMP
+        # cast (NTZ has no direct numeric cast); lo and the per-row
+        # value use the same session-tz interpretation, so the slice
+        # assignment is tz-independent
+        epoch = F.col("ts").cast("timestamp").cast("long")
+        lo, hi = t.agg(F.min(epoch), F.max(epoch)).first()
+        if lo is None:
+            raise ValueError(f"empty transcripts source under {sf_dir}: nothing to feed")
+        span = max(1, int(hi) - int(lo) + 1)
+        sliced = t.withColumn(
+            "_slice",
+            F.least(
+                F.lit(n_batches - 1),
+                ((epoch - F.lit(int(lo))) * n_batches / span).cast("int"),
+            ),
+        )
     else:
         sliced = t.withColumn(
             "_slice", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_batches)).cast("int")
@@ -174,12 +189,15 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL CDC OperationType surface THROUGH the streaming sink:
     a change feed of three commits (v1 inserts, v2 updates every 5th
-    turn, v3 DELETES every 7th) plus a crash-replay of commit 1 runs
-    through the exactly-once MergeSink; the read side resolves latest-
-    version-per-key and drops delete-terminated keys (the Iceberg
-    merge-on-read shape). Must equal the batch cdc_with_deletes oracle
-    — insert/update/delete envelope semantics survive micro-batching,
-    replay, and the sink commit protocol end-to-end."""
+    turn, v3 DELETES every 7th) runs through the exactly-once
+    MergeSink, then commit 1 is RE-DELIVERED at its original epoch id
+    (process_batch with batch_id=0 — the foreachBatch replay a crashed
+    driver produces) so the sink's commit-marker skip is what absorbs
+    the replay; the read side resolves latest-version-per-key and
+    drops delete-terminated keys (the Iceberg merge-on-read shape).
+    Must equal the batch cdc_with_deletes oracle —
+    insert/update/delete envelope semantics survive micro-batching,
+    same-epoch replay, and the sink commit protocol end-to-end."""
     t = transcripts_from_events(spark, sf_dir)
     v1 = t.withColumn("_change_type", F.lit("insert")).withColumn(
         "_commit_version", F.lit(1).cast("long")
@@ -198,7 +216,7 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _scratch("cdcdel_feed")
     os.makedirs(feed, exist_ok=True)
     t0 = 1_700_000_000
-    for i, part in enumerate((v1, v2, v3, v1)):  # 4th file = replay of commit 1
+    for i, part in enumerate((v1, v2, v3)):
         tmp = os.path.join(feed, f".tmp_{uuid.uuid4().hex[:8]}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
         src_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -227,6 +245,12 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = pipe.run()
     q.awaitTermination()
     pipe.stop()
+    # crash-replay of commit 1 at its ORIGINAL epoch id: batch_id 0 is
+    # already committed, so the sink's marker skip (merge.py
+    # process_batch) must absorb it without touching the table
+    committed_before = sink.committed_batches()
+    sink.process_batch(v1, 0)
+    assert sink.committed_batches() == committed_before, "same-epoch replay re-committed"
     return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 

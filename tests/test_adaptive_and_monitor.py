@@ -125,6 +125,107 @@ def test_adaptive_resize_across_segments(spark, tmp_path):
     )
 
 
+class _FlakySink:
+    """MergeSink wrapper whose process_batch fails the first N attempts
+    (a transient sink outage) — the failure the reference retries with
+    backoff without advancing the cursor
+    (docs/capability-inventory.md:195-199)."""
+
+    def __init__(self, inner, fail_times: int):
+        self.inner = inner
+        self.fails_left = fail_times
+        self.attempts = 0
+
+    def process_batch(self, batch_df, batch_id):
+        self.attempts += 1
+        if self.fails_left > 0:
+            self.fails_left -= 1
+            raise RuntimeError("transient sink outage")
+        self.inner.process_batch(batch_df, batch_id)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+def test_monitor_retry_with_backoff(spark, tmp_path):
+    """D6 second half: a table whose sink fails transiently TWICE is
+    restarted from its checkpoint with backoff and succeeds with no
+    loss and no dups, while a healthy table streams uninterrupted
+    (reference: retry failed batch with backoff, cursor never
+    advances — docs/capability-inventory.md:195-199)."""
+    flaky_pdf = generate_transcripts(n_convs=3, turns_per_conv=6, seed=41)
+    flaky_feed = str(tmp_path / "flaky_feed")
+    write_changefeed_batches(spark, flaky_pdf, flaky_feed, n_batches=3)
+    good_pdf = generate_transcripts(n_convs=2, turns_per_conv=5, seed=42)
+    good_feed = str(tmp_path / "good_feed")
+    write_changefeed_batches(spark, good_pdf, good_feed, n_batches=2)
+
+    flaky = _FlakySink(MergeSink(str(tmp_path / "flaky_tbl")), fail_times=2)
+    good_sink = MergeSink(str(tmp_path / "good_tbl"))
+    mon = Monitor(
+        spark,
+        [
+            {
+                "name": "flaky_table",
+                "source": {"type": "changefeed", "path": flaky_feed, "max_files_per_trigger": 1},
+                "sink": {"type": "merge", "sink": flaky},
+                "checkpoint_dir": str(tmp_path / "ckpt_flaky"),
+                "trigger": {"availableNow": True},
+            },
+            {
+                "name": "good_table",
+                "source": {"type": "changefeed", "path": good_feed},
+                "sink": {"type": "merge", "sink": good_sink},
+                "checkpoint_dir": str(tmp_path / "ckpt_good"),
+                "trigger": {"availableNow": True},
+            },
+        ],
+    )
+    mon.init_all()
+    mon.run_all()
+    report = mon.supervise(max_retries=3, base_backoff_s=0.2)
+
+    assert report["good_table"] == {"retries": 0, "ok": True, "error": None}
+    assert report["flaky_table"]["ok"] is True
+    assert report["flaky_table"]["retries"] == 2  # two transient outages
+    # exactly-once across both restarts: replayed epochs are absorbed
+    # by the commit markers (no loss, no dup)
+    assert flaky.inner.read_table(spark).count() == len(
+        flaky_pdf.drop_duplicates(["conv_id", "turn_idx"])
+    )
+    assert good_sink.read_table(spark).count() == len(
+        good_pdf.drop_duplicates(["conv_id", "turn_idx"])
+    )
+
+
+def test_monitor_retry_cap_leaves_table_failed(spark, tmp_path):
+    """A table that keeps failing exhausts its retry cap and is left
+    failed; supervise still returns (no hang) and reports the error."""
+    pdf = generate_transcripts(n_convs=2, turns_per_conv=4, seed=43)
+    feed = str(tmp_path / "feed")
+    write_changefeed_batches(spark, pdf, feed, n_batches=2)
+    always_bad = _FlakySink(MergeSink(str(tmp_path / "tbl")), fail_times=10**9)
+    mon = Monitor(
+        spark,
+        [
+            {
+                "name": "doomed",
+                "source": {"type": "changefeed", "path": feed},
+                "sink": {"type": "merge", "sink": always_bad},
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "trigger": {"availableNow": True},
+            }
+        ],
+    )
+    mon.init_all()
+    mon.run_all()
+    report = mon.supervise(max_retries=2, base_backoff_s=0.05)
+    assert report["doomed"]["ok"] is False
+    assert report["doomed"]["retries"] == 2
+    assert "transient sink outage" in report["doomed"]["error"]
+    assert always_bad.inner.read_table(spark).count() == 0  # nothing committed
+
+
 def test_monitor_isolates_table_failure(spark, tmp_path):
     """S2/D6: two monitored tables; one feed is poisoned. The healthy
     table completes with correct contents; the poisoned one surfaces

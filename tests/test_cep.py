@@ -1,8 +1,11 @@
-"""Unit contract for the streaming CEP state function: triples that
+"""Unit contract for the streaming CEP state function: matches that
 straddle a micro-batch boundary fire exactly once, replays are
-rejected by the cursor, and state stays O(1) (two turns)."""
+rejected by the cursor, state stays O(k) (last k-1 turns), and the
+operator is pattern-parameterized (Step predicates)."""
 
 from __future__ import annotations
+
+import json
 
 import pandas as pd
 
@@ -29,10 +32,11 @@ def _batch(rows):
     ).astype({"ts": "datetime64[ns]"})
 
 
-def _run(state, rows):
+def _run(state, rows, fn=None):
     from dstream_spark.operators.cep import _cep_fn
 
-    out = list(_cep_fn(("c1",), iter([_batch(rows)]), state))
+    fn = fn or _cep_fn
+    out = list(fn(("c1",), iter([_batch(rows)]), state))
     return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
 
 
@@ -52,7 +56,7 @@ def test_triple_across_batch_boundary_fires_once():
     out2 = _run(st, [("c1", 2, "tool", "search", _t(2))])
     assert len(out2) == 1
     r = out2.iloc[0]
-    assert (r.conv_id, r.user_turn, r.tool, r.span_s) == ("c1", 0, "search", 120)
+    assert (r.conv_id, r.first_turn, r.tool, r.span_s) == ("c1", 0, "search", 120)
 
 
 def test_replayed_turns_do_not_duplicate_matches():
@@ -82,9 +86,62 @@ def test_span_bound_excludes_slow_triples():
     assert len(out) == 0
 
 
-def test_state_is_last_two_turns_only():
+def test_state_is_last_k_minus_1_turns_only():
     st = FakeState()
     _run(st, [("c1", i, "user", None, _t(i)) for i in range(50)])
-    role_a, _, _, idx_a, role_b, _, _, idx_b = st.get
-    assert (idx_a, idx_b) == (48, 49)
-    assert role_a == role_b == "user"
+    meta = json.loads(st.get[0])
+    assert meta["c"] == 49  # cursor at the high-water mark
+    assert [p[3] for p in meta["p"]] == [48, 49]  # exactly k-1 = 2 pending
+    assert all(p[0] == "user" for p in meta["p"])
+
+
+def test_parameterized_pattern_tool_retry():
+    """The generalized operator with the SECOND shipped pattern
+    (tool-error → agent → tool retry): same state machinery, different
+    Step predicates; cross-batch bridging and cursor replay-rejection
+    hold for it too."""
+    from dstream_spark.operators.cep import TOOL_AGENT_TOOL, make_cep_fn
+
+    fn = make_cep_fn(TOOL_AGENT_TOOL)
+    st = FakeState()
+    out1 = _run(
+        st,
+        [("c1", 0, "tool", "tool_1", _t(0)), ("c1", 1, "agent", None, _t(1))],
+        fn=fn,
+    )
+    assert len(out1) == 0
+    out2 = _run(st, [("c1", 2, "tool", "tool_1", _t(2))], fn=fn)
+    assert len(out2) == 1
+    r = out2.iloc[0]
+    assert (r.conv_id, r.first_turn, r.tool, r.span_s) == ("c1", 0, "tool_1", 120)
+    # replay rejected
+    assert len(_run(st, [("c1", 2, "tool", "tool_1", _t(2))], fn=fn)) == 0
+    # a user→agent→tool triple does NOT match this pattern
+    st2 = FakeState()
+    out3 = _run(
+        st2,
+        [
+            ("c1", 0, "user", None, _t(0)),
+            ("c1", 1, "agent", None, _t(1)),
+            ("c1", 2, "tool", "search", _t(2)),
+        ],
+        fn=fn,
+    )
+    assert len(out3) == 0
+
+
+def test_pattern_requires_consecutive_turns():
+    """An intervening turn between the steps breaks the match (the
+    window is over CONSECUTIVE turns, as in the batch lead() form)."""
+    st = FakeState()
+    out = _run(
+        st,
+        [
+            ("c1", 0, "user", None, _t(0)),
+            ("c1", 1, "user", None, _t(1)),  # breaks user→agent adjacency
+            ("c1", 2, "agent", None, _t(2)),
+            ("c1", 3, "tool", "search", _t(3)),
+        ],
+    )
+    # user(1)→agent(2)→tool(3) still matches as a consecutive window
+    assert len(out) == 1 and out.iloc[0].first_turn == 1

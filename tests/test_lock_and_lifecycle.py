@@ -82,6 +82,39 @@ def test_lock_race_on_stale_exactly_one_winner(tmp_path):
     assert sum(results.values()) == 1
 
 
+def test_renewal_is_cas_not_clobber(tmp_path):
+    """The renewal TOCTOU: a holder whose lease expired may race a
+    successor that broke the stale lock and re-claimed it. Renewal is
+    a CAS (ownership re-verified under the same .cas flock as the
+    stale break), so the lapsed holder gets LockHeldError and the
+    successor's lock survives untouched."""
+    import json
+
+    lock = Lock(str(tmp_path / "renew.lock"), ttl_s=60)
+    lock.acquire("a")
+    # simulate the interleaving: after A's optimistic owner read, a
+    # successor broke A's (expired) lock and claimed the slot
+    with open(lock.path, "w") as f:
+        json.dump({"owner": "b", "ts": time.time()}, f)
+    with pytest.raises(LockHeldError):
+        lock._cas_renew("a")
+    assert json.load(open(lock.path))["owner"] == "b"  # never clobbered
+    # the acquire() renewal path surfaces the same loss
+    with pytest.raises(LockHeldError):
+        lock.acquire("a")
+
+    # lock vanished between read and CAS → not an error, claim retried
+    import os
+
+    os.unlink(lock.path)
+    assert lock._cas_renew("b") is False
+    lock.acquire("b")  # re-claim succeeds
+    t_before = json.load(open(lock.path))["ts"]
+    time.sleep(0.01)
+    assert lock._cas_renew("b") is True  # happy-path renewal refreshes ts
+    assert json.load(open(lock.path))["ts"] > t_before
+
+
 def test_release_wrong_owner_is_noop(tmp_path):
     lock = Lock(str(tmp_path / "y.lock"), ttl_s=10)
     lock.acquire("a")

@@ -147,3 +147,22 @@ def test_inline_compaction_during_stream(spark, tmp_path):
     pipe.stop()
     assert sink.read_table(spark).count() == len(pdf.drop_duplicates(["conv_id", "turn_idx"]))
     assert len(sink.committed_batches()) <= 2  # 5 epochs folded down
+
+
+def test_empty_sink_reads_with_declared_key_schema(spark, tmp_path):
+    """A window-keyed sink that has committed NOTHING must still return
+    a frame carrying its declared key/order columns, so a caller's
+    .select(*keys) gets an empty result instead of AnalysisException
+    (r3 verdict 'What's wrong' #3)."""
+    sink = MergeSink(
+        str(tmp_path / "wtbl"),
+        keys=("w_start", "conv_id"),
+        partition_key="conv_id",
+        order_cols=("conv_id", "w_start"),
+        version_col="_v",
+    )
+    empty = sink.read_table(spark)
+    assert empty.count() == 0
+    # the select that used to throw
+    assert empty.select("w_start", "conv_id").count() == 0
+    assert set(empty.columns) == {"w_start", "conv_id"}

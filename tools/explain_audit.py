@@ -121,6 +121,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!CartesianProduct", "no all-pairs plan"),
         ("!SortMergeJoin", "the corpus side never shuffles for the join"),
     ],
+    # round-4 additions
+    "docs_para_dedup": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>", "only doc_id+text read"),
+        ("HashAggregate", "paragraph-hash counts partial-aggregate map-side"),
+        ("!CartesianProduct", "count join is an equi-join on the 16-byte hash"),
+        ("!BroadcastNestedLoopJoin", "no nested-loop fallback"),
+    ],
+    "docs_bpe_merged": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>", "only doc_id+text read"),
+        ("codegen id", "merge replaces are codegen'd string expressions"),
+        ("!CartesianProduct", "no join at all"),
+    ],
+    "cep_tool_retry": [
+        ("Window", "lead() scan over (conv_id, turn_idx)"),
+        ("!SinglePartition", "window partitioned by conv_id — linear at 10^12 turns"),
+    ],
 }
 
 
