@@ -533,12 +533,19 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO fan_out here: assignment against 8 broadcast centroids is one
+    dot product per (vector, centroid) — far too little CPU per row to
+    amortize the repartition exchange fan_out inserts on a one-split
+    scan. Measured at sf0.1/32 cores (5 reps, warm): 0.59 s without vs
+    0.98 s with — the r3 fan_out() was the whole +29% r2→r3 regression
+    (BENCH/NOTES.md). fan_out stays on the queries whose per-row work
+    is heavy (shingle md5s, simhash votes, corpus-side cosine top-k)."""
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    return similarity.ivf_assign(fan_out(e), cents)
+    return similarity.ivf_assign(e, cents)
 
 
 # ================================================================= #
@@ -1162,6 +1169,7 @@ _GATE_PRIORITY = [
     # new in r4 (never gated)
     "docs_para_dedup",
     "docs_bpe_merged",
+    "docs_pack_bpe",
     "cep_tool_retry",
     "stream_cep_retry",
     "emb_kmeans_converged",

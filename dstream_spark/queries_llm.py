@@ -140,6 +140,44 @@ def q_docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_pack_greedy packing REAL token budgets: the per-document
+    length is docs_bpe_merged's merges-table BPE symbol count (what a
+    production packer consumes), not the whitespace count. Same
+    sharded-window shape — the budget source is the only change, which
+    is the point: packing is composable with any upstream counter."""
+    from dstream_spark.functions import text as textfn
+
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    pre = textfn.bpe_tokens("text")
+    n_bpe = F.aggregate(
+        F.transform(pre, textfn.merged_symbol_count),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    base = fan_out(d).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        n_bpe.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(prev / PACK_BUDGET_TOKENS).cast("int").alias("seq_id"),
+        (prev - F.floor(prev / PACK_BUDGET_TOKENS) * PACK_BUDGET_TOKENS)
+        .cast("long")
+        .alias("tok_offset"),
+    )
+
+
 def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id >=
     DECON_EVAL_MAX_ID) sharing at least one word 3-gram with the eval
@@ -395,6 +433,7 @@ SELECT pd.doc_id, pd.n_paras, pd.n_dup_paras,
        CAST(pd.n_dup_paras AS DOUBLE) / CAST(pd.n_paras AS DOUBLE) AS dup_ratio
 FROM pd LEFT JOIN ow USING (doc_id)""",
     "docs_bpe_merged": _bpe_merged_sql(),
+    "docs_pack_bpe": None,  # filled below (needs the merge expression)
     # cluster_id = min reachable doc over the undirected pair graph —
     # exactly what min-label propagation converges to
     "docs_dup_clusters": f"""
@@ -484,6 +523,39 @@ JOIN sh e ON t.g = e.g AND t.doc_id >= {DECON_EVAL_MAX_ID} AND e.doc_id < {DECON
 GROUP BY 1""",
 }
 
+def _pack_bpe_sql() -> str:
+    from dstream_spark.functions.text import merged_symbol_count_sql
+
+    cnt = (
+        "CAST(coalesce(list_sum(list_transform(pts, t -> "
+        + merged_symbol_count_sql("t")
+        + ")), 0) AS BIGINT)"
+    )
+    return f"""
+WITH pre AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0) AS pts
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         {cnt} AS n_tokens
+  FROM pre
+), p AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(prev / {PACK_BUDGET_TOKENS}.0) AS INT) AS seq_id,
+       CAST(prev - CAST(FLOOR(prev / {PACK_BUDGET_TOKENS}.0) AS BIGINT) * {PACK_BUDGET_TOKENS} AS BIGINT) AS tok_offset
+FROM p"""
+
+
+LLM_ORACLES["docs_pack_bpe"] = _pack_bpe_sql()
+
 LLM_QUERIES: dict[str, Query] = {
     "docs_para_dedup": Query(
         q_docs_para_dedup, LLM_ORACLES["docs_para_dedup"],
@@ -507,6 +579,11 @@ LLM_QUERIES: dict[str, Query] = {
     "docs_pack_greedy": Query(
         q_docs_pack_greedy, LLM_ORACLES["docs_pack_greedy"],
         "sharded greedy packing into token-budget sequences; no global sort",
+    ),
+    "docs_pack_bpe": Query(
+        q_docs_pack_bpe, LLM_ORACLES["docs_pack_bpe"],
+        "the packer consuming docs_bpe_merged's merges-table token "
+        "counts — real token budgets, same sharded-window shape",
     ),
     "docs_decontaminate": Query(
         q_docs_decontaminate, LLM_ORACLES["docs_decontaminate"],
