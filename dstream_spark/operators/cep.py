@@ -54,16 +54,23 @@ PATTERN_SPAN_S = 64800  # whole sequence inside 18 h (fixture cadence is hours)
 @dataclass(frozen=True)
 class Step:
     """One turn-level predicate of a CEP pattern: required role (None =
-    any) and whether a tool call must be present."""
+    any), whether a tool call must be present, and optionally a
+    CROSS-STEP constraint — the tool must equal the tool captured at
+    an earlier step (``tool_equals_step``, 0-based index into the
+    pattern), e.g. 'the SAME tool retried'."""
 
     role: str | None = None
     tool_required: bool = False
+    tool_equals_step: int | None = None
 
-    def matches(self, role, tool) -> bool:
+    def matches(self, role, tool, window_tools=None) -> bool:
         if self.role is not None and role != self.role:
             return False
         if self.tool_required and not isinstance(tool, str):
             return False  # null arrives as None OR NaN
+        if self.tool_equals_step is not None:
+            if window_tools is None or tool != window_tools[self.tool_equals_step]:
+                return False
         return True
 
 
@@ -78,6 +85,11 @@ TOOL_AGENT_TOOL = (
     Step(role="agent"),
     Step(role="tool", tool_required=True),
 )  # "tool error -> agent intervention -> tool retry"
+TOOL_RETRY_SAME = (
+    Step(role="tool", tool_required=True),
+    Step(role="agent"),
+    Step(role="tool", tool_required=True, tool_equals_step=0),
+)  # "... and the retry is the SAME tool" (cross-step constraint)
 
 
 def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S):
@@ -119,8 +131,12 @@ def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S):
         # a match fires when its LAST step arrives in THIS batch
         for e in range(max(k - 1, n_pending), len(rows)):
             window = rows[e - k + 1 : e + 1]
+            window_tools = [w[1] for w in window]
             if (
-                all(s.matches(w[0], w[1]) for s, w in zip(pattern, window))
+                all(
+                    s.matches(w[0], w[1], window_tools)
+                    for s, w in zip(pattern, window)
+                )
                 and window[-1][2] - window[0][2] <= span_s
             ):
                 out.append(

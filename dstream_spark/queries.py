@@ -1171,6 +1171,7 @@ _GATE_PRIORITY = [
     "docs_bpe_merged",
     "docs_pack_bpe",
     "cep_tool_retry",
+    "cep_tool_retry_same",
     "stream_cep_retry",
     "emb_kmeans_converged",
     # last green in r2, refactored under in r3 (registry minus r3 keys)

@@ -726,6 +726,42 @@ def q_cep_tool_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cep_tool_retry_same(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CROSS-STEP-constrained CEP pattern (operators/cep.
+    TOOL_RETRY_SAME): tool-error → agent → the SAME tool retried.
+    Value constraints between steps are what separate a pattern
+    language from a role filter; batch twin = the lead() scan plus one
+    equality predicate across the captured steps."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    seq = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        epoch.alias("t0"),
+        F.lead("role", 1).over(w).alias("role1"),
+        F.lead("role", 2).over(w).alias("role2"),
+        F.lead("tool", 2).over(w).alias("tool2"),
+        F.lead(epoch, 2).over(w).alias("t2"),
+    )
+    return seq.filter(
+        (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & (F.col("role1") == "agent")
+        & (F.col("role2") == "tool")
+        & F.col("tool2").isNotNull()
+        & (F.col("tool2") == F.col("tool"))
+        & (F.col("t2") - F.col("t0") <= 64800)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("first_turn"),
+        F.col("tool2").alias("tool"),
+        (F.col("t2") - F.col("t0")).alias("span_s"),
+    )
+
+
 def q_stream_cep_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING form of the tool-retry pattern: the PARAMETERIZED CEP
     operator (cep_pattern_stream with TOOL_AGENT_TOOL) over a
@@ -1355,6 +1391,24 @@ FROM seq
 WHERE role = 'tool' AND tool IS NOT NULL AND role1 = 'agent'
   AND role2 = 'tool' AND tool2 IS NOT NULL AND t2 - t0 <= 64800"""
     ),
+    "cep_tool_retry_same": _t_sql(
+        """
+, seq AS (
+  SELECT conv_id, turn_idx, role, tool,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0,
+         lead(role, 1) OVER w AS role1,
+         lead(role, 2) OVER w AS role2,
+         lead(tool, 2) OVER w AS tool2,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS first_turn, tool2 AS tool, t2 - t0 AS span_s
+FROM seq
+WHERE role = 'tool' AND tool IS NOT NULL AND role1 = 'agent'
+  AND role2 = 'tool' AND tool2 IS NOT NULL AND tool2 = tool
+  AND t2 - t0 <= 64800"""
+    ),
     "tpch_q12": """
 SELECT l_linestatus,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -1598,6 +1652,11 @@ EXT_QUERIES: dict[str, Query] = {
         q_stream_cep_retry, EXT_ORACLES["cep_tool_retry"],
         "the PARAMETERIZED streaming CEP operator running the retry "
         "pattern (TOOL_AGENT_TOOL) == its batch lead()-window twin",
+    ),
+    "cep_tool_retry_same": Query(
+        q_cep_tool_retry_same, EXT_ORACLES["cep_tool_retry_same"],
+        "CROSS-STEP value constraint: the retry must be the SAME tool "
+        "(Step.tool_equals_step) — a pattern language, not a role filter",
     ),
     "stream_tool_left_join": Query(
         q_stream_tool_left_join, EXT_ORACLES["stream_tool_left_join"],

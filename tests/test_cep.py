@@ -145,3 +145,27 @@ def test_pattern_requires_consecutive_turns():
     )
     # user(1)→agent(2)→tool(3) still matches as a consecutive window
     assert len(out) == 1 and out.iloc[0].first_turn == 1
+
+
+def test_cross_step_same_tool_constraint():
+    """Step.tool_equals_step: the retry must carry the SAME tool as
+    step 0 — a different tool at step 2 does not match even though the
+    role/tool_required predicates pass."""
+    from dstream_spark.operators.cep import TOOL_RETRY_SAME, make_cep_fn
+
+    fn = make_cep_fn(TOOL_RETRY_SAME)
+    st = FakeState()
+    out = _run(
+        st,
+        [
+            ("c1", 0, "tool", "tool_1", _t(0)),
+            ("c1", 1, "agent", None, _t(1)),
+            ("c1", 2, "tool", "tool_2", _t(2)),  # different tool: no match
+            ("c1", 3, "agent", None, _t(3)),
+            ("c1", 4, "tool", "tool_2", _t(4)),  # same as step 2: match
+        ],
+        fn=fn,
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.first_turn, r.tool) == (2, "tool_2")
