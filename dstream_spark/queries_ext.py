@@ -952,18 +952,20 @@ def q_emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.getField("mean"),
             ).alias("c_vec")
         )
-        new_assigned = _materialize(
-            ivf_assign(e, new_cents).select("vec_id", "c_id"), "km_a"
+        # land the round ONCE with the previous label alongside, then
+        # read the convergence scalar from the landed table — one
+        # execution per round, not two (the docs_dup_clusters
+        # discipline the CC loop uses, queries_llm.py)
+        mat = _materialize(
+            ivf_assign(e, new_cents)
+            .select("vec_id", "c_id")
+            .join(assigned.withColumnRenamed("c_id", "_old"), "vec_id"),
+            "km_a",
         )
-        changed = (
-            new_assigned.alias("n")
-            .join(assigned.alias("o"), "vec_id")
-            .filter(F.col("n.c_id") != F.col("o.c_id"))
-            .count()
-        )
+        changed = mat.filter(F.col("c_id") != F.col("_old")).count()
         if changed == 0:
             break
-        assigned = new_assigned
+        assigned = mat.drop("_old")
         rounds += 1
     return assigned.withColumn("n_rounds", F.lit(rounds).cast("int"))
 

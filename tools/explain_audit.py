@@ -137,6 +137,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("Window", "lead() scan over (conv_id, turn_idx)"),
         ("!SinglePartition", "window partitioned by conv_id — linear at 10^12 turns"),
     ],
+    "docs_pack_bpe": [
+        ("Window", "running prefix-sum window over BPE budgets"),
+        ("!SinglePartition", "window pre-partitioned by shard — never a one-task global sort"),
+        ("codegen id", "merge-table replaces codegen'd (final AQE plan)"),
+    ],
 }
 
 
