@@ -102,3 +102,81 @@ def test_banded_near_dups_equal_brute_force_any_threshold(spark, hashes, max_ham
         ).collect()
     }
     assert banded == brute
+
+
+# --- 3. streaming CEP == batch window scan, any pattern/split ----------
+
+_roles = st.sampled_from(["user", "agent", "tool"])
+_tools = st.sampled_from([None, "tool_1", "tool_2"])
+_turns = st.lists(st.tuples(_roles, _tools, st.integers(0, 5)), min_size=2, max_size=24)
+_steps = st.lists(
+    st.tuples(st.sampled_from([None, "user", "agent", "tool"]), st.booleans()),
+    min_size=2,
+    max_size=4,
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(turns=_turns, steps=_steps, cuts=st.lists(st.integers(1, 23), max_size=4),
+       same_tool_last=st.booleans(), replay=st.booleans())
+def test_streaming_cep_equals_batch_scan_any_pattern_and_split(
+    turns, steps, cuts, same_tool_last, replay
+):
+    """For ANY pattern (random Step predicates, optional cross-step
+    same-tool constraint), ANY micro-batch split of the turn sequence,
+    and an optional crash-replay of the first batch, the streaming
+    state function emits exactly the matches a batch scan over the
+    full sequence finds — each exactly once."""
+    import pandas as pd
+
+    from dstream_spark.operators.cep import Step, make_cep_fn
+
+    from tests.test_cep import FakeState, _batch
+
+    pattern = tuple(Step(role=r, tool_required=tr) for r, tr in steps)
+    if same_tool_last and any(tr for _, tr in steps[:-1]):
+        anchor = next(i for i, (_, tr) in enumerate(steps[:-1]) if tr)
+        last = pattern[-1]
+        pattern = pattern[:-1] + (
+            Step(role=last.role, tool_required=True, tool_equals_step=anchor),
+        )
+    span_s = 120
+    k = len(pattern)
+
+    # the full per-conversation sequence: turn_idx 0..n-1, ts = cumsum gaps
+    rows, t = [], 0
+    for i, (role, tool, gap_min) in enumerate(turns):
+        t += gap_min * 60
+        rows.append(("c1", i, role, tool, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)))
+
+    # batch reference: every k-consecutive window
+    expected = set()
+    for e in range(k - 1, len(rows)):
+        win = rows[e - k + 1 : e + 1]
+        tools_in_win = [w[3] for w in win]
+        ts_s = [int(w[4].timestamp()) for w in win]
+        if (
+            all(s.matches(w[2], w[3], tools_in_win) for s, w in zip(pattern, win))
+            and ts_s[-1] - ts_s[0] <= span_s
+        ):
+            expected.add((win[0][1], tools_in_win[-1], ts_s[-1] - ts_s[0]))
+
+    # streaming: split at the (sorted, deduped, in-range) cut points
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    chunks, start = [], 0
+    for b in bounds + [len(rows)]:
+        if b > start:
+            chunks.append(rows[start:b])
+            start = b
+    if replay:
+        chunks.append(chunks[0])  # crash-replay of batch 0
+
+    fn = make_cep_fn(pattern, span_s)
+    st_ = FakeState()
+    got = set()
+    for chunk in chunks:
+        for out in fn(("c1",), iter([_batch(chunk)]), st_) or ():
+            got.update(
+                (int(r.first_turn), r.tool, int(r.span_s)) for r in out.itertuples()
+            )
+    assert got == expected
