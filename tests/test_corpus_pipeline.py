@@ -10,7 +10,13 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
 
     res = cp.run(spark, "/root/testdata/sf0.001", str(tmp_path))
     # funnel is monotone: each stage can only drop documents
-    assert res["docs_in"] >= res["kept_quality"] >= res["kept_after_dedup"] >= res["train_docs"]
+    assert (
+        res["docs_in"]
+        >= res["kept_quality"]
+        >= res["kept_after_dedup"]
+        >= res["kept_after_decon"]
+        >= res["train_docs"]
+    )
     assert res["train_docs"] == res["packed_docs"] > 0
     assert res["train_tokens"] > 0 and res["sequences"] > 0
 

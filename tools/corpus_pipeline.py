@@ -6,6 +6,8 @@ oracle-checked operators:
       → quality gate        (docs_quality + docs_repetition signals)
       → near-dup resolution (MinHash-LSH pairs → connected components,
                              keep one representative per cluster)
+      → decontamination     (docs_decontaminate: eval-set 3-gram
+                             overlap, broadcast eval side)
       → leakage-safe split  (docs_hash_split, identity-keyed md5)
       → sequence packing    (docs_pack_bpe: sharded greedy packing of
                              merges-table BPE token budgets)
@@ -33,6 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 QUALITY_MIN = 0.30       # docs_quality composite floor
 UNIQ_RATIO_MIN = 0.30    # docs_repetition: drop degenerate repetition
+DECON_HITS_MIN = 20      # eval-overlap hits before a train doc is dropped
 
 
 def run(spark, sf_dir: str, out_dir: str) -> dict:
@@ -65,12 +68,24 @@ def run(spark, sf_dir: str, out_dir: str) -> dict:
     kept_qd = kept_q.join(drop, "doc_id", "left_anti")
     n_dedup = kept_qd.count()
 
-    # 3. leakage-safe split: identity-keyed, train partition only
+    # 3. benchmark decontamination: drop training docs sharing 3-grams
+    # with the eval set (broadcast eval side — the only map-side join)
+    from dstream_spark.queries_llm import q_docs_decontaminate
+
+    contaminated = (
+        q_docs_decontaminate(spark, sf_dir)
+        .filter(F.col("n_hits") >= DECON_HITS_MIN)
+        .select("doc_id")
+    )
+    kept_qdc = kept_qd.join(contaminated, "doc_id", "left_anti")
+    n_decon = kept_qdc.count()
+
+    # 4. leakage-safe split: identity-keyed, train partition only
     split = q_docs_hash_split(spark, sf_dir)
-    train = kept_qd.join(split.filter(F.col("split") == "train"), "doc_id").select("doc_id")
+    train = kept_qdc.join(split.filter(F.col("split") == "train"), "doc_id").select("doc_id")
     n_train = train.count()
 
-    # 4. pack surviving train docs into token-budget sequences. The
+    # 5. pack surviving train docs into token-budget sequences. The
     # packer runs on the FILTERED population (budget offsets must not
     # count dropped documents), so the window input is the semi-join.
     packed = (
@@ -117,6 +132,7 @@ def run(spark, sf_dir: str, out_dir: str) -> dict:
         "docs_in": n_docs,
         "kept_quality": n_quality,
         "kept_after_dedup": n_dedup,
+        "kept_after_decon": n_decon,
         "train_docs": n_train,
         "packed_docs": int(stats["docs"]),
         "train_tokens": int(stats["tokens"]),
