@@ -1,0 +1,124 @@
+"""Incremental (streaming) near-duplicate detection over a document
+change feed — the corpus-ingestion form of MinHash-LSH dedup.
+
+A 100 TB corpus does not arrive as one batch: documents stream in, and
+each must be checked against EVERYTHING ingested so far without
+re-scanning the corpus. The classic shape (and this operator):
+
+- the accumulated state is a *band index* — (doc_id, band, band_hash)
+  rows, bucket-keyed — maintained as an exactly-once landed table
+  (MergeSink: commit markers make replays no-ops, so the index grows
+  exactly once per epoch);
+- each micro-batch derives its documents' MinHash band hashes (pure
+  JVM expressions, functions/dedup_text) and equi-joins them against
+  the index buckets (plus its own bands, for within-batch dups) — the
+  only shuffle is on the 16-byte band hash, never on text;
+- colliding documents land in a *dup log* (doc_id, dup_of = smallest
+  earlier colliding doc, n_bands = collision evidence), also
+  exactly-once.
+
+Replay determinism: the dup log commits BEFORE the index, so a crash
+between the two replays into (skip dups, recompute index against the
+same pre-batch index state) — both tables end bit-identical to the
+crash-free run. Doc ids are assumed monotone with arrival (the CDC
+LSN analog; reference docs/plugins/mssql-ingester.md:70): "earlier"
+is simply "smaller id".
+
+At scale the index join is bucket-partitioned on band_hash (the
+MergeSink partition key), so a new batch touches only the buckets its
+documents hash into — the same access pattern an LSM-backed dedup
+index has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dstream_spark.functions.dedup_text import lsh_bands, minhash_signature, word_shingles
+from dstream_spark.sinks.merge import MergeSink
+
+
+def document_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, band, band_hash) for every document with at least one
+    shingle (short docs have no signature, as in the batch family)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.select("doc_id", *minhash_signature(F.col("sh")))
+    return lsh_bands(sig)
+
+
+class IncrementalLshDedup:
+    """Exactly-once incremental LSH dedup: a growing band index + a
+    dup log, fed micro-batch by micro-batch (use ``process_batch`` as
+    a foreachBatch body, or drive it directly)."""
+
+    def __init__(self, index_dir: str, dups_dir: str, n_partitions: int = 8,
+                 protocol: str = "rename"):
+        self.index = MergeSink(
+            index_dir,
+            keys=("doc_id", "band"),
+            partition_key="band_hash",  # co-locate buckets
+            order_cols=("band_hash", "doc_id"),
+            n_partitions=n_partitions,
+            protocol=protocol,
+        )
+        self.dups = MergeSink(
+            dups_dir,
+            keys=("doc_id",),
+            partition_key="doc_id",
+            order_cols=("doc_id",),
+            n_partitions=n_partitions,
+            protocol=protocol,
+        )
+
+    def init(self) -> None:
+        self.index.init()
+        self.dups.init()
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = document_bands(batch_df)
+        bands.persist()
+        try:
+            # earlier = committed index (prior epochs) + this batch's own
+            # bands (within-batch dups); "earlier" = smaller doc_id
+            idx = self.index.read_table(spark).select("doc_id", "band", "band_hash")
+            earlier = idx.unionByName(bands).select(
+                F.col("doc_id").alias("e_id"), "band", "band_hash"
+            )
+            collisions = (
+                bands.join(earlier, ["band", "band_hash"])
+                .filter(F.col("e_id") < F.col("doc_id"))
+                .groupBy("doc_id")
+                .agg(
+                    F.min("e_id").alias("dup_of"),
+                    F.countDistinct("band").alias("n_bands"),
+                )
+            )
+            # dup log FIRST: a crash before the index commit replays to
+            # the same pre-batch index state, so both commits are
+            # deterministic (see module docstring)
+            self.dups.process_batch(collisions, batch_id)
+            self.index.process_batch(bands, batch_id)
+        finally:
+            bands.unpersist()
+
+    # -- readers -----------------------------------------------------
+    def read_dups(self, spark: SparkSession) -> DataFrame:
+        if not self.dups.committed_batches():  # nothing ingested yet
+            return spark.createDataFrame(
+                [], schema="doc_id long, dup_of long, n_bands long"
+            )
+        return self.dups.read_table(spark).select("doc_id", "dup_of", "n_bands")
+
+    def unique_docs(self, spark: SparkSession) -> DataFrame:
+        """Ingested documents that are nobody's duplicate — the keep
+        set a downstream pipeline trains on."""
+        seen = self.index.read_table(spark).select("doc_id").distinct()
+        return seen.join(self.read_dups(spark).select("doc_id"), "doc_id", "left_anti")
+
+    def destroy(self) -> None:
+        self.index.destroy()
+        self.dups.destroy()
