@@ -77,6 +77,22 @@ class IncrementalLshDedup:
         self.index.init()
         self.dups.init()
 
+    def _index_raw(self, spark: SparkSession) -> DataFrame:
+        """Committed index rows WITHOUT read_table's cross-batch key
+        dedup: the index is append-only with unique (doc_id, band) by
+        construction (each epoch's writer dedups its own batch; replays
+        are marker-skipped), so the per-epoch latest-version shuffle
+        over the WHOLE accumulated index — O(corpus) per micro-batch,
+        quadratic cumulative — is pure waste here."""
+        committed = self.index.committed_batches()
+        if not committed:
+            return spark.createDataFrame(
+                [], schema="doc_id long, band int, band_hash string"
+            )
+        return self.index.protocol.data_read(spark, committed).select(
+            "doc_id", "band", "band_hash"
+        )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bands = document_bands(batch_df)
@@ -84,7 +100,7 @@ class IncrementalLshDedup:
         try:
             # earlier = committed index (prior epochs) + this batch's own
             # bands (within-batch dups); "earlier" = smaller doc_id
-            idx = self.index.read_table(spark).select("doc_id", "band", "band_hash")
+            idx = self._index_raw(spark)
             earlier = idx.unionByName(bands).select(
                 F.col("doc_id").alias("e_id"), "band", "band_hash"
             )
