@@ -77,23 +77,34 @@ class Monitor:
         base_backoff_s: float = 0.2,
         poll_s: float = 0.05,
         timeout_s: float = 120.0,
+        run_for_s: float | None = None,
     ) -> dict:
-        """Run every table to completion with per-table
-        retry-with-backoff (D6's second half). A table whose query
-        terminates with an exception is restarted from ITS OWN
-        checkpoint after ``base_backoff_s * 2**attempt`` — the failed
-        epoch was never committed (Spark only advances offsets on a
-        successful foreachBatch), so the restart replays it and the
-        sink's commit markers keep the overlap exactly-once. Retries
-        are capped; a table that exhausts them is left failed, the
-        rest finish normally. Non-blocking: backoff is a per-table
-        deadline checked in one poll loop, so a backing-off table
-        never delays a healthy one.
+        """Run every table with per-table retry-with-backoff (D6's
+        second half). A table whose query terminates with an exception
+        is restarted from ITS OWN checkpoint after
+        ``base_backoff_s * 2**attempt`` — the failed epoch was never
+        committed (Spark only advances offsets on a successful
+        foreachBatch), so the restart replays it and the sink's commit
+        markers keep the overlap exactly-once. Retries are capped; a
+        table that exhausts them is left failed, the rest continue.
+        Non-blocking: backoff is a per-table deadline checked in one
+        poll loop, so a backing-off table never delays a healthy one.
 
-        Assumes availableNow-style triggers (a healthy query
-        terminates when drained). Returns per-table
-        {"retries": n, "ok": bool, "error": str | None}.
+        Two trigger regimes:
+        - availableNow (default, ``run_for_s=None``): a healthy query
+          terminates when drained → success.
+        - continuous (processingTime — the reference's long-running
+          monitor loop): pass ``run_for_s``; the loop supervises for
+          that window, restarting crashed tables with backoff, and a
+          table still ACTIVE at the deadline is healthy — it reports
+          ``ok=True, running=True`` and is LEFT RUNNING (callers own
+          shutdown via stop_all).
+
+        Returns per-table
+        {"retries": n, "ok": bool, "error": str | None[, "running"]}.
         """
+        if run_for_s is not None:
+            timeout_s = run_for_s
         report = {
             name: {"retries": 0, "ok": False, "error": None}
             for name in self.pipelines
@@ -138,6 +149,12 @@ class Monitor:
                     self._record_failure(name, p, err, report, retry_at, done,
                                          max_retries, base_backoff_s)
             time.sleep(poll_s)
+        if run_for_s is not None:
+            # continuous regime: alive at the deadline == healthy
+            for name, p in self.pipelines.items():
+                if name not in done and p.query is not None and p.query.isActive:
+                    report[name]["ok"] = True
+                    report[name]["running"] = True
         return report
 
     def _record_failure(

@@ -278,3 +278,50 @@ def test_monitor_isolates_table_failure(spark, tmp_path):
     assert st["bad_table"]["failures"]
     assert not st["good_table"].get("failures")
     mon.stop_all()
+
+
+def test_monitor_supervise_continuous_queries(spark, tmp_path):
+    """The CONTINUOUS regime (the reference's long-running monitor
+    loop): processingTime-triggered tables supervised for a window —
+    a transiently-failing table is restarted from its checkpoint with
+    backoff and is healthy (still running) at the deadline, while the
+    healthy table streams uninterrupted throughout."""
+    flaky = _FlakySink(
+        MergeSink(str(tmp_path / "flaky_tbl"), keys=("timestamp", "value"),
+                  partition_key="value", order_cols=("value",)),
+        fail_times=2,
+    )
+    good_sink = MergeSink(str(tmp_path / "good_tbl"), keys=("timestamp", "value"),
+                          partition_key="value", order_cols=("value",))
+    mon = Monitor(
+        spark,
+        [
+            {
+                "name": "flaky_rate",
+                "source": {"type": "rate", "rows_per_second": 20},
+                "sink": {"type": "merge", "sink": flaky},
+                "checkpoint_dir": str(tmp_path / "ckpt_flaky"),
+                "trigger": {"processingTime": "200 milliseconds"},
+            },
+            {
+                "name": "good_rate",
+                "source": {"type": "rate", "rows_per_second": 20},
+                "sink": {"type": "merge", "sink": good_sink},
+                "checkpoint_dir": str(tmp_path / "ckpt_good"),
+                "trigger": {"processingTime": "200 milliseconds"},
+            },
+        ],
+    )
+    mon.init_all()
+    mon.run_all()
+    try:
+        report = mon.supervise(max_retries=3, base_backoff_s=0.3, run_for_s=12.0)
+    finally:
+        mon.stop_all()
+    assert report["good_rate"]["ok"] is True and report["good_rate"].get("running")
+    assert report["good_rate"]["retries"] == 0
+    assert report["flaky_rate"]["ok"] is True and report["flaky_rate"].get("running")
+    assert report["flaky_rate"]["retries"] == 2
+    # after healing, the flaky table actually committed data
+    assert flaky.inner.read_table(spark).count() > 0
+    assert good_sink.read_table(spark).count() > 0
