@@ -128,3 +128,39 @@ def test_incremental_dedup_as_streaming_sink(spark, tmp_path):
     q.awaitTermination()
     dups = {r["doc_id"]: r["dup_of"] for r in d.read_dups(spark).collect()}
     assert dups == {12: 3, 13: 11}
+
+
+def test_collision_join_plan_is_bucket_equi_join(spark, tmp_path):
+    """Scale discipline: the per-batch collision join must be an
+    equi-join on (band, band_hash) — never a cartesian/nested-loop
+    plan — and the index side must come straight off the landed
+    parquet (no latest-version window over the accumulated index)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from dstream_spark.operators.incremental_dedup import document_bands
+
+    d = IncrementalLshDedup(str(tmp_path / "idx"), str(tmp_path / "dups"), n_partitions=2)
+    d.init()
+    d.process_batch(_df(spark, DOCS0), 0)
+
+    bands = document_bands(_df(spark, DOCS1))
+    earlier = d._index_raw(spark).unionByName(bands).select(
+        F.col("doc_id").alias("e_id"), "band", "band_hash"
+    )
+    collisions = (
+        bands.join(earlier, ["band", "band_hash"])
+        .filter(F.col("e_id") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("e_id").alias("dup_of"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        collisions.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert "Window" not in plan  # raw index read: no latest-version window
