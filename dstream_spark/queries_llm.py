@@ -303,9 +303,15 @@ def q_docs_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)
         ),
     )
-    inst = fan_out(d).select(
-        "doc_id", F.explode(paras).alias("para")
-    ).select("doc_id", F.md5("para").alias("para_md5"))
+    # materialize the exploded hash table ONCE: it feeds BOTH the
+    # per-hash count and the join back, and Catalyst re-derives a
+    # shared subtree per consumer (the self-join lesson, _materialize)
+    inst = _materialize(
+        fan_out(d)
+        .select("doc_id", F.explode(paras).alias("para"))
+        .select("doc_id", F.md5("para").alias("para_md5")),
+        "para_inst",
+    )
     cnt = inst.groupBy("para_md5").agg(
         F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("rep_doc_id")
     )
