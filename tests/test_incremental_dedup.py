@@ -164,3 +164,21 @@ def test_collision_join_plan_is_bucket_equi_join(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert "Window" not in plan  # raw index read: no latest-version window
+
+
+def test_index_compaction_preserves_detection(spark, tmp_path):
+    """K1 composition: folding the band index (and dup log) into one
+    base batch must not change later detections — a post-compaction
+    ingest still collides against everything previously indexed."""
+    d = IncrementalLshDedup(str(tmp_path / "idx"), str(tmp_path / "dups"), n_partitions=2)
+    d.init()
+    d.process_batch(_df(spark, DOCS0), 0)
+    d.process_batch(_df(spark, DOCS1), 1)
+    d.index.compact(spark)
+    d.dups.compact(spark)
+    assert len(d.index.committed_batches()) == 1  # folded
+
+    d.process_batch(_df(spark, [(20, DOCS0[3][1])]), 2)
+    dups = {r["doc_id"]: r["dup_of"] for r in d.read_dups(spark).collect()}
+    assert dups[20] == 3  # detected against the compacted index
+    assert dups[12] == 3 and dups[13] == 11  # history preserved
