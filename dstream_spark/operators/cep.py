@@ -69,7 +69,11 @@ class Step:
         if self.tool_required and not isinstance(tool, str):
             return False  # null arrives as None OR NaN
         if self.tool_equals_step is not None:
-            if window_tools is None or tool != window_tools[self.tool_equals_step]:
+            # NULL-safe, matching the batch lead()-window twin's
+            # `tool2 = tool` predicate: SQL equality over NULL is never
+            # true, so two NULL tools must NOT count as "the same tool"
+            other = None if window_tools is None else window_tools[self.tool_equals_step]
+            if not (isinstance(tool, str) and isinstance(other, str) and tool == other):
                 return False
         return True
 

@@ -358,10 +358,16 @@ class MergeSink:
         """Same resolve-retry as read_table: a marker retired by a
         racing compact()'s swap_base between committed_batches() and
         the marker read raises — re-resolve once against the
-        post-compact (self-consistent) commit set."""
+        post-compact (self-consistent) commit set. The retry only
+        fires when the commit set actually CHANGED under us (the
+        compact-race signature); a deterministic read error surfaces
+        immediately instead of being executed twice."""
+        before = self.committed_batches()
         try:
             return self.protocol.lineage_read(spark)
         except Exception:
+            if self.committed_batches() == before:
+                raise  # not a compact race — a genuine read error
             return self.protocol.lineage_read(spark)
 
     # -- maintenance ---------------------------------------------------

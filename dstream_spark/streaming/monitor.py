@@ -40,6 +40,9 @@ class Monitor:
         self.pipelines: dict[str, Pipeline] = {
             conf["name"]: Pipeline(spark, conf) for conf in table_confs
         }
+        # start failures recorded by run_all, consumed by supervise so a
+        # table that never started counts that failure as attempt 0
+        self._start_errors: dict[str, Exception] = {}
 
     def init_all(self) -> dict:
         return {name: p.init() for name, p in self.pipelines.items()}
@@ -52,8 +55,10 @@ class Monitor:
         for name, p in self.pipelines.items():
             try:
                 started[name] = p.run(owner=owner)
+                self._start_errors.pop(name, None)
             except Exception as e:  # noqa: BLE001 — isolate, report in status
                 started[name] = e
+                self._start_errors[name] = e
         return started
 
     def await_all(self, timeout_s: float | None = None) -> None:
@@ -115,7 +120,14 @@ class Monitor:
         done: set[str] = set()
         for name, p in self.pipelines.items():
             if p.query is None:
-                retry_at[name] = time.monotonic() + base_backoff_s
+                start_err = self._start_errors.pop(name, None)
+                if start_err is not None:
+                    # run_all's start failure is attempt 0: record its
+                    # error and consume a retry for the restart
+                    self._record_failure(name, p, start_err, report, retry_at,
+                                         done, max_retries, base_backoff_s)
+                else:
+                    retry_at[name] = time.monotonic()  # never started — start now
         deadline = time.monotonic() + timeout_s
         while len(done) < len(self.pipelines) and time.monotonic() < deadline:
             for name, p in self.pipelines.items():
@@ -149,12 +161,19 @@ class Monitor:
                     self._record_failure(name, p, err, report, retry_at, done,
                                          max_retries, base_backoff_s)
             time.sleep(poll_s)
-        if run_for_s is not None:
-            # continuous regime: alive at the deadline == healthy
-            for name, p in self.pipelines.items():
-                if name not in done and p.query is not None and p.query.isActive:
+        for name, p in self.pipelines.items():
+            if name not in done and p.query is not None and p.query.isActive:
+                if run_for_s is not None:
+                    # continuous regime: alive at the deadline == healthy
                     report[name]["ok"] = True
                     report[name]["running"] = True
+                else:
+                    # availableNow regime: still draining at the deadline
+                    # is NOT a failure — mark it distinctly (ok=None) so
+                    # it can't be confused with a crashed table
+                    report[name]["ok"] = None
+                    report[name]["running"] = True
+                    report[name]["timed_out"] = True
         return report
 
     def _record_failure(

@@ -250,7 +250,8 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process_batch) must absorb it without touching the table
     committed_before = sink.committed_batches()
     sink.process_batch(v1, 0)
-    assert sink.committed_batches() == committed_before, "same-epoch replay re-committed"
+    if sink.committed_batches() != committed_before:  # survives python -O
+        raise RuntimeError("same-epoch replay re-committed")
     return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
