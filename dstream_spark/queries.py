@@ -850,6 +850,19 @@ FROM bands l
 JOIN bands r
   ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 GROUP BY 1, 2""",
+    # the incremental dedup's dup log under id-ascending arrival IS the
+    # global batch answer: min earlier band-bucket collision per doc
+    # (docs_minhash_pairs rolled up on the right-hand doc)
+    "inc_dedup_log": f"""
+WITH {_SIG_CTE}, bands AS (
+{_BANDS_BODY}
+)
+SELECT l.doc_id AS doc_id, MIN(r.doc_id) AS dup_of,
+       CAST(COUNT(DISTINCT l.band) AS BIGINT) AS n_bands
+FROM bands l
+JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND r.doc_id < l.doc_id
+GROUP BY 1""",
     "docs_minhash_verified": f"""
 WITH {_SIG_CTE}, bands AS (
 {_BANDS_BODY}
@@ -984,6 +997,12 @@ def _stream_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_multi_sink
 
     return stream_multi_sink(spark, sf_dir)
+
+
+def _stream_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_inc_dedup
+
+    return stream_inc_dedup(spark, sf_dir)
 
 
 # closed sessions only: window end (last event + gap) <= final
@@ -1127,6 +1146,14 @@ QUERIES: dict[str, Query] = {
     "stream_multi_sink": Query(
         _stream_multi_sink, ORACLES["relay_identity"],
         "fanout to two lineaged sinks under replay; 2nd destination == identity",
+    ),
+    "inc_dedup_log": Query(
+        _stream_inc_dedup,
+        ORACLES["inc_dedup_log"],
+        "incremental streaming LSH dedup: 4 id-ascending micro-batches "
+        "through the growing exactly-once band index, epoch 1 crash-"
+        "replayed at its original id; dup log == global batch min-"
+        "earlier-collision oracle",
     ),
     "stream_static_enrich": Query(
         _stream_static_enrich,

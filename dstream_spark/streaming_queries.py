@@ -515,3 +515,51 @@ def stream_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     pipe.stop()
     return sink_b.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def stream_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated form of the incremental streaming LSH dedup
+    (operators/incremental_dedup.py): the documents table arrives as
+    four doc_id-ascending micro-batches fed through
+    ``IncrementalLshDedup.process_batch`` (the foreachBatch body) — a
+    growing exactly-once band index plus a dup log. Epoch 1 is then
+    crash-replayed at its ORIGINAL id; the commit markers must absorb
+    it without touching either table.
+
+    Because arrival order is ascending doc_id and "earlier" is
+    "smaller doc_id" (the CDC LSN analog), the incremental dup log is
+    exactly the global batch answer: for each doc, the minimum earlier
+    doc sharing >=1 LSH band bucket — the docs_minhash_pairs oracle
+    rolled up per right-hand doc. Only the two scalar id bounds are
+    read on the driver; slicing is JVM-side."""
+    from dstream_spark.fixtures.transcripts import register_tables
+    from dstream_spark.operators.incremental_dedup import IncrementalLshDedup
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        raise ValueError(f"empty documents table under {sf_dir}")
+    n_batches = 4
+    span = max(1, int(hi) - int(lo) + 1)
+    sliced = docs.withColumn(
+        "_slice",
+        F.least(
+            F.lit(n_batches - 1),
+            ((F.col("doc_id") - F.lit(int(lo))) * n_batches / span).cast("int"),
+        ),
+    ).persist()
+    d = IncrementalLshDedup(
+        _scratch("incdedup_idx"), _scratch("incdedup_dups"), n_partitions=8
+    )
+    d.init()
+    try:
+        for b in range(n_batches):
+            d.process_batch(sliced.filter(F.col("_slice") == b).drop("_slice"), b)
+        committed = (d.index.committed_batches(), d.dups.committed_batches())
+        d.process_batch(sliced.filter(F.col("_slice") == 1).drop("_slice"), 1)
+        if (d.index.committed_batches(), d.dups.committed_batches()) != committed:
+            raise RuntimeError("same-epoch replay re-committed")  # survives -O
+    finally:
+        sliced.unpersist()
+    return d.read_dups(spark)
