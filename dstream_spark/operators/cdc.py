@@ -62,31 +62,79 @@ def lineage_summary(df: DataFrame, key: str = "conv_id") -> DataFrame:
 # ---------------------------------------------------------------- #
 
 _CURSOR_STATE_SCHEMA = T.StructType([T.StructField("max_turn_idx", T.IntegerType())])
+# TTL form additionally tracks the cursor's event-time high-water mark
+# so the eviction deadline is data-derived, not wall-clock
+_CURSOR_STATE_SCHEMA_TTL = T.StructType(
+    [
+        T.StructField("max_turn_idx", T.IntegerType()),
+        T.StructField("max_ts_s", T.LongType()),
+    ]
+)
 
 
-def _cursor_fn(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Emit only turns beyond the conversation's cursor, in order, and
-    advance the cursor — exactly-once per turn_idx within the stream.
+def make_cursor_fn(ttl_s: int | None = None):
+    """Build the cursor state body. ``ttl_s`` (requires
+    EventTimeTimeout + a watermark): a conversation's cursor is
+    evicted once the watermark passes its newest turn's event time +
+    ttl_s. Safe under the same contract dropDuplicatesWithinWatermark
+    relies on — any replay of an old turn carries an event time below
+    the watermark and is filtered before the operator ever sees it, so
+    a dropped cursor can no longer be regressed. State is O(tables ×
+    ACTIVE conversations), the reference's cursor bound
+    (docs/capability-inventory.md:179-183), instead of O(all
+    conversations ever seen)."""
 
-    Mirrors the ingester loop docs/plugins/mssql-ingester.md:64-73:
-    load cursor → filter (seq > cursor) → emit ordered → advance. The
-    'publish-then-advance' property is supplied by Spark's epoch
-    commit: state updates and sink output commit atomically per batch.
-    """
-    (max_seen,) = state.get if state.exists else (-1,)
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch[batch["turn_idx"] > max_seen]
-    if len(batch):
-        batch = batch.sort_values(["turn_idx"]).drop_duplicates(subset=["turn_idx"], keep="first")
-        state.update((int(batch["turn_idx"].max()),))
-        yield batch
+    def cursor_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Emit only turns beyond the conversation's cursor, in order,
+        and advance the cursor — exactly-once per turn_idx within the
+        stream.
+
+        Mirrors the ingester loop docs/plugins/mssql-ingester.md:64-73:
+        load cursor → filter (seq > cursor) → emit ordered → advance.
+        The 'publish-then-advance' property is supplied by Spark's
+        epoch commit: state updates and sink output commit atomically
+        per batch."""
+        if getattr(state, "hasTimedOut", False):
+            state.remove()  # idle conversation: watermark bounds any replay
+            return
+        if state.exists:
+            max_seen, max_ts_s = (state.get if ttl_s is not None else (*state.get, 0))
+        else:
+            max_seen, max_ts_s = -1, 0
+        cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["turn_idx"] > max_seen]
+        if len(batch):
+            batch = batch.sort_values(["turn_idx"]).drop_duplicates(
+                subset=["turn_idx"], keep="first"
+            )
+            if ttl_s is None:
+                state.update((int(batch["turn_idx"].max()),))
+            else:
+                # ts is NTZ wall time denoting UTC: int64 ns // 1e9 is
+                # the true instant, independent of session timezone
+                max_ts_s = max(
+                    int(max_ts_s), int(batch["ts"].astype("int64").max()) // 10**9
+                )
+                state.update((int(batch["turn_idx"].max()), max_ts_s))
+            yield batch[cols]
+        if ttl_s is not None and state.exists:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts_s * 1000 + ttl_s * 1000, wm_ms + 1))
+
+    return cursor_fn
 
 
-def cursor_dedup_stream(df: DataFrame) -> DataFrame:
+# backward-compatible name: the NoTimeout body
+_cursor_fn = make_cursor_fn(None)
+
+
+def cursor_dedup_stream(df: DataFrame, ttl_s: int | None = None,
+                        wm_delay_s: int = 1800) -> DataFrame:
     """Per-conv_id monotonic cursor dedup over a streaming transcript
     feed. Input must carry the transcript columns; output is the same
     schema, each (conv_id, turn_idx) emitted at most once and only in
@@ -95,16 +143,35 @@ def cursor_dedup_stream(df: DataFrame) -> DataFrame:
     Note the semantic difference vs dropDuplicatesWithinWatermark: the
     cursor REJECTS regressions (a replayed turn below the high-water
     mark), matching dstream's LSN cursor, not just duplicate keys.
-    """
+
+    ``ttl_s`` bounds state to ACTIVE conversations: the cursor is
+    evicted once the event-time watermark (``wm_delay_s`` behind max
+    event time) passes the conversation's newest turn + ttl_s — see
+    make_cursor_fn for why that loses no replay protection."""
     cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
-    return (
-        df.select(*cols)
-        .groupBy("conv_id")
-        .applyInPandasWithState(
-            _cursor_fn,
-            outputStructType=TRANSCRIPT_SCHEMA,
-            stateStructType=_CURSOR_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    if ttl_s is None:
+        return (
+            df.select(*cols)
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                _cursor_fn,
+                outputStructType=TRANSCRIPT_SCHEMA,
+                stateStructType=_CURSOR_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
+    from dstream_spark.operators.event_time import to_instant
+
+    evt = (
+        df.select(*cols)
+        .withColumn("_evt", to_instant("ts"))
+        .withWatermark("_evt", f"{wm_delay_s} seconds")
+    )
+    return evt.groupBy("conv_id").applyInPandasWithState(
+        make_cursor_fn(ttl_s),
+        outputStructType=TRANSCRIPT_SCHEMA,
+        stateStructType=_CURSOR_STATE_SCHEMA_TTL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

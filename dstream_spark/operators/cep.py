@@ -96,16 +96,36 @@ TOOL_RETRY_SAME = (
 )  # "... and the retry is the SAME tool" (cross-step constraint)
 
 
-def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S):
+def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S,
+                ttl_s: int | None = None):
     """Build the applyInPandasWithState body for ``pattern``: emits
     (conv_id, first_turn, tool-of-last-step, span_s) once per match of
-    len(pattern) CONSECUTIVE turns whose first→last gap <= span_s."""
+    len(pattern) CONSECUTIVE turns whose first→last gap <= span_s.
+
+    ``ttl_s`` (requires EventTimeTimeout + a watermark on the stream):
+    a conversation's state is EVICTED once the watermark passes its
+    last pending turn + ttl_s. With ttl_s >= span_s this is exact — a
+    window containing any pending turn would need its last step to
+    arrive with event time beyond watermark > last_pending + span_s,
+    so first→last would already exceed span_s and the pattern can
+    never complete; the pending turns are dead state. Without it
+    (NoTimeout), per-conversation state lives forever — the unbounded
+    conv_id universe at 10^12 turns grows the state store
+    monotonically (the r4 review's scale-killer)."""
     k = len(pattern)
     if k < 2:
         raise ValueError("a CEP pattern needs at least 2 steps")
 
     def cep_fn(key, pdfs, state):
         import pandas as pd
+
+        if getattr(state, "hasTimedOut", False):
+            # watermark passed last_pending + ttl: the pattern can
+            # never complete from this state — drop it. The cursor is
+            # safe to lose too: any replayed turn is older than the
+            # watermark and is filtered before the operator.
+            state.remove()
+            return
 
         conv_id = key[0]
         cursor, pending = -1, []
@@ -155,6 +175,12 @@ def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S):
         state.update(
             (json.dumps({"c": int(rows[-1][3]), "p": rows[-(k - 1):]}),)
         )
+        if ttl_s is not None:
+            # timeout must stay ahead of the current watermark
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(int(rows[-1][2]) * 1000 + ttl_s * 1000, wm_ms + 1)
+            )
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in CEP_OUT_SCHEMA.fields])
 
@@ -170,18 +196,37 @@ def cep_pattern_stream(
     df: DataFrame,
     pattern: tuple[Step, ...] = USER_AGENT_TOOL,
     span_s: int = PATTERN_SPAN_S,
+    ttl_s: int | None = None,
+    wm_delay_s: int = 1800,
 ) -> DataFrame:
     """Pattern matches over a streaming transcript feed (in turn order
     per conversation, as the changefeed delivers them); each match
-    emitted exactly once, across batch boundaries."""
-    return (
-        df.select("conv_id", "turn_idx", "role", "tool", "ts")
-        .groupBy("conv_id")
-        .applyInPandasWithState(
+    emitted exactly once, across batch boundaries.
+
+    ``ttl_s`` bounds state: an idle conversation's pending window is
+    evicted once the event-time watermark (``wm_delay_s`` behind the
+    stream's max event time) passes its last pending turn + ttl_s —
+    exact for ttl_s >= span_s (see make_cep_fn). The watermark rides a
+    derived ``_evt`` instant column so the at-rest NTZ ``ts`` is never
+    session-timezone-shifted through Arrow."""
+    cols = df.select("conv_id", "turn_idx", "role", "tool", "ts")
+    if ttl_s is None:
+        return cols.groupBy("conv_id").applyInPandasWithState(
             make_cep_fn(pattern, span_s),
             outputStructType=CEP_OUT_SCHEMA,
             stateStructType=CEP_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    from dstream_spark.operators.event_time import to_instant
+
+    evt = cols.withColumn("_evt", to_instant("ts")).withWatermark(
+        "_evt", f"{wm_delay_s} seconds"
+    )
+    return evt.groupBy("conv_id").applyInPandasWithState(
+        make_cep_fn(pattern, span_s, ttl_s),
+        outputStructType=CEP_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
