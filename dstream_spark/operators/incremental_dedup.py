@@ -39,14 +39,21 @@ from dstream_spark.functions.dedup_text import lsh_bands, minhash_signature, wor
 from dstream_spark.sinks.merge import MergeSink
 
 
+N_BUCKETS = 256  # bucket = first hex byte of band_hash — the on-disk
+# partition-pruning unit; a FIXED universe, so the per-batch touched-
+# bucket set is a bounded scalar (≤256 values) regardless of corpus size
+
+
 def document_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, band, band_hash) for every document with at least one
-    shingle (short docs have no signature, as in the batch family)."""
+    """(doc_id, band, band_hash, bucket) for every document with at
+    least one shingle (short docs have no signature, as in the batch
+    family). ``bucket`` is the hive partition key the index is laid
+    out under — functionally determined by band_hash."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, 3).alias("sh")
     ).filter(F.size("sh") > 0)
     sig = sh.select("doc_id", *minhash_signature(F.col("sh")))
-    return lsh_bands(sig)
+    return lsh_bands(sig).withColumn("bucket", F.substring("band_hash", 1, 2))
 
 
 class IncrementalLshDedup:
@@ -59,10 +66,14 @@ class IncrementalLshDedup:
         self.index = MergeSink(
             index_dir,
             keys=("doc_id", "band"),
-            partition_key="band_hash",  # co-locate buckets
+            partition_key="bucket",  # co-locate buckets
             order_cols=("band_hash", "doc_id"),
             n_partitions=n_partitions,
             protocol=protocol,
+            # hive bucket directories: each epoch lands under
+            # bucket=XX/ subdirs, so the collision join's index read
+            # PRUNES to the buckets the batch actually touches
+            hive_partition_by="bucket",
         )
         self.dups = MergeSink(
             dups_dir,
@@ -77,33 +88,46 @@ class IncrementalLshDedup:
         self.index.init()
         self.dups.init()
 
-    def _index_raw(self, spark: SparkSession) -> DataFrame:
+    def _index_raw(self, spark: SparkSession, buckets=None) -> DataFrame:
         """Committed index rows WITHOUT read_table's cross-batch key
         dedup: the index is append-only with unique (doc_id, band) by
         construction (each epoch's writer dedups its own batch; replays
         are marker-skipped), so the per-epoch latest-version shuffle
         over the WHOLE accumulated index — O(corpus) per micro-batch,
-        quadratic cumulative — is pure waste here."""
+        quadratic cumulative — is pure waste here.
+
+        ``buckets``: restrict the read to these hive bucket
+        partitions. The filter lands as a PartitionFilter on the scan
+        (bucket is a directory key, never a data column), so only the
+        touched bucket directories are listed and read — the lookup
+        cost tracks the BATCH's bucket footprint, not the accumulated
+        index size."""
         committed = self.index.committed_batches()
         if not committed:
             return spark.createDataFrame(
                 [], schema="doc_id long, band int, band_hash string"
             )
-        return self.index.protocol.data_read(spark, committed).select(
-            "doc_id", "band", "band_hash"
-        )
+        df = self.index.protocol.data_read(spark, committed)
+        if buckets is not None:
+            df = df.filter(F.col("bucket").isin(list(buckets)))
+        return df.select("doc_id", "band", "band_hash")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bands = document_bands(batch_df)
         bands.persist()
         try:
-            # earlier = committed index (prior epochs) + this batch's own
-            # bands (within-batch dups); "earlier" = smaller doc_id
-            idx = self._index_raw(spark)
-            earlier = idx.unionByName(bands).select(
-                F.col("doc_id").alias("e_id"), "band", "band_hash"
-            )
+            # the batch's touched-bucket set: ONE aggregate to a single
+            # row, bounded by the fixed 256-bucket universe (a scalar
+            # read in the kmeans sense — O(1) w.r.t. corpus size)
+            touched = bands.agg(F.collect_set("bucket")).first()[0]
+            # earlier = committed index (prior epochs, PRUNED to the
+            # touched buckets) + this batch's own bands (within-batch
+            # dups); "earlier" = smaller doc_id
+            idx = self._index_raw(spark, buckets=touched)
+            earlier = idx.unionByName(
+                bands.select("doc_id", "band", "band_hash")
+            ).select(F.col("doc_id").alias("e_id"), "band", "band_hash")
             collisions = (
                 bands.join(earlier, ["band", "band_hash"])
                 .filter(F.col("e_id") < F.col("doc_id"))

@@ -268,6 +268,7 @@ class MergeSink:
         version_col: str | None = None,
         n_partitions: int = 8,
         protocol: str = "rename",
+        hive_partition_by: str | None = None,
     ):
         self.table_dir = table_dir
         self.protocol = PROTOCOLS[protocol](table_dir)
@@ -278,6 +279,13 @@ class MergeSink:
         self.order_cols = order_cols
         self.version_col = version_col
         self.n_partitions = n_partitions
+        # hive-style directory layout: batch data lands under
+        # <batch>/<col>=<v>/ subdirectories, so readers filtering on
+        # the column get PARTITION PRUNING — only the touched
+        # directories are listed and scanned. The scale lever for
+        # bucket-keyed indexes (incremental dedup): a micro-batch's
+        # lookup reads the buckets it hashes into, not the full index.
+        self.hive_partition_by = hive_partition_by
         self.protocol.init()
 
     # -- commit log -------------------------------------------------
@@ -308,11 +316,17 @@ class MergeSink:
                 .withColumnsRenamed({"_partition_id": "partition_id"})
             self.protocol.publish(
                 int(batch_id),
-                lambda p: bdf.drop("_partition_id").write.mode("overwrite").parquet(p),
+                lambda p: self._write_data(bdf.drop("_partition_id"), p),
                 lambda p: lineage.coalesce(1).write.mode("overwrite").parquet(p),
             )
         finally:
             bdf.unpersist()
+
+    def _write_data(self, df: DataFrame, path: str) -> None:
+        w = df.write.mode("overwrite")
+        if self.hive_partition_by:
+            w = w.partitionBy(self.hive_partition_by)
+        w.parquet(path)
 
     def _lineage_of(self, grouped, batch_id: int) -> DataFrame:
         return grouped.agg(
@@ -406,7 +420,7 @@ class MergeSink:
         self.protocol.swap_base(
             int(base_id),
             retire,
-            lambda p: snapshot.write.mode("overwrite").parquet(p),
+            lambda p: self._write_data(snapshot, p),
             write_lineage,
         )
         return int(base_id)

@@ -78,7 +78,7 @@ def test_crash_between_dup_and_index_commit_is_deterministic(spark, tmp_path):
 
     bands = document_bands(_df(spark, DOCS1))
     idx = d.index.read_table(spark).select("doc_id", "band", "band_hash")
-    earlier = idx.unionByName(bands).select(
+    earlier = idx.unionByName(bands.select("doc_id", "band", "band_hash")).select(
         F.col("doc_id").alias("e_id"), "band", "band_hash"
     )
     collisions = (
@@ -147,9 +147,9 @@ def test_collision_join_plan_is_bucket_equi_join(spark, tmp_path):
     d.process_batch(_df(spark, DOCS0), 0)
 
     bands = document_bands(_df(spark, DOCS1))
-    earlier = d._index_raw(spark).unionByName(bands).select(
-        F.col("doc_id").alias("e_id"), "band", "band_hash"
-    )
+    earlier = d._index_raw(spark).unionByName(
+        bands.select("doc_id", "band", "band_hash")
+    ).select(F.col("doc_id").alias("e_id"), "band", "band_hash")
     collisions = (
         bands.join(earlier, ["band", "band_hash"])
         .filter(F.col("e_id") < F.col("doc_id"))
@@ -182,3 +182,55 @@ def test_index_compaction_preserves_detection(spark, tmp_path):
     dups = {r["doc_id"]: r["dup_of"] for r in d.read_dups(spark).collect()}
     assert dups[20] == 3  # detected against the compacted index
     assert dups[12] == 3 and dups[13] == 11  # history preserved
+
+
+def test_index_bucket_pruning_reads_only_touched_buckets(spark, tmp_path):
+    """The 100-TB lever: the index lands under hive bucket=XX
+    directories and a batch's collision lookup must PRUNE to the
+    buckets its bands hash into — a PartitionFilters entry on the
+    scan, not a post-scan filter — so per-epoch lookup IO tracks the
+    batch's bucket footprint, not the accumulated index size."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dstream_spark.operators.incremental_dedup import document_bands
+
+    d = IncrementalLshDedup(str(tmp_path / "idx"), str(tmp_path / "dups"), n_partitions=2)
+    d.init()
+    # 40 distinct docs spread the index across many buckets
+    many = [(i, " ".join(f"m{i}_{j}" for j in range(12))) for i in range(40)]
+    d.process_batch(_df(spark, many), 0)
+    batch_dir = os.path.join(str(tmp_path / "idx"), "data", "batch_id=0")
+    all_buckets = {n for n in os.listdir(batch_dir) if n.startswith("bucket=")}
+    assert len(all_buckets) > 8  # layout is real: many bucket dirs on disk
+
+    # a ONE-doc batch touches at most BANDS(=4) buckets
+    bands = document_bands(_df(spark, [(100, many[3][1])]))
+    touched = bands.agg(F.collect_set("bucket")).first()[0]
+    assert 1 <= len(touched) <= 4 < len(all_buckets)
+
+    pruned = d._index_raw(spark, buckets=touched)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # the bucket restriction is a partition filter on the scan (prunes
+    # directory listing + IO), and is NOT left as a data filter
+    assert "PartitionFilters" in plan
+    part_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "bucket" in part_line and "IN" in part_line
+
+    # IO check at the source: only the touched directories are read
+    read_dirs = {
+        os.path.basename(os.path.dirname(r[0].removeprefix("file://")))
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_dirs == {f"bucket={b}" for b in touched} & all_buckets
+
+    # and the pruned lookup still detects the duplicate
+    d.process_batch(_df(spark, [(100, many[3][1])]), 1)
+    dups = {r["doc_id"]: r["dup_of"] for r in d.read_dups(spark).collect()}
+    assert dups == {100: 3}
