@@ -192,6 +192,116 @@ def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S,
 _cep_fn = make_cep_fn(USER_AGENT_TOOL)
 
 
+def make_followed_by_fn(a: Step, b: Step, n_turns: int,
+                        span_s: int = PATTERN_SPAN_S,
+                        ttl_s: int | None = None):
+    """NON-CONSECUTIVE pattern: 'A followed by B within n_turns turns'
+    with skip-till-next-match semantics (Flink CEP / MATCH_RECOGNIZE's
+    relaxed contiguity): each A-turn matches the FIRST later B-turn
+    whose turn distance is <= n_turns and time gap <= span_s,
+    skipping any non-B turns between them. One match per A-turn.
+
+    State per conversation: the cursor plus the UNMATCHED A-turns of
+    the last n_turns turns — O(n_turns), constant for a fixed window,
+    because an A older than n_turns behind the newest turn can never
+    match (the next B is farther than n_turns away) and is pruned.
+    Emits (conv_id, first_turn = the A-turn, tool = the B-turn's tool,
+    span_s = B.ts - A.ts). ``ttl_s`` as in make_cep_fn: with the
+    span_s time bound, state older than last_turn + span_s is dead and
+    EventTimeTimeout-evictable."""
+
+    def fb_fn(key, pdfs, state):
+        import pandas as pd
+
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+
+        conv_id = key[0]
+        cursor, pending_a = -1, []  # pending_a: [turn_idx, epoch_s]
+        if state.exists:
+            meta = json.loads(state.get[0])
+            cursor, pending_a = meta["c"], meta["p"]
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["turn_idx"] > cursor]
+        if not len(batch):
+            return
+        batch = batch.sort_values("turn_idx").drop_duplicates(
+            subset=["turn_idx"], keep="first"
+        )
+
+        out = []
+        last_idx = cursor
+        for role, tool, t_s, idx in zip(
+            batch["role"],
+            batch["tool"],
+            batch["ts"].astype("int64") // 10**9,
+            batch["turn_idx"].astype("int64"),
+        ):
+            tool = tool if isinstance(tool, str) else None
+            t_s, idx = int(t_s), int(idx)
+            if b.matches(role, tool):
+                matched, keep = [], []
+                for a_idx, a_t in pending_a:
+                    if idx - a_idx <= n_turns and t_s - a_t <= span_s:
+                        matched.append((a_idx, a_t))
+                    else:
+                        keep.append([a_idx, a_t])
+                for a_idx, a_t in matched:  # first B for each pending A
+                    out.append((conv_id, int(a_idx), tool, int(t_s - a_t)))
+                pending_a = keep
+            if a.matches(role, tool):
+                pending_a.append([idx, t_s])
+            # prune: an A more than n_turns behind can never match
+            pending_a = [p for p in pending_a if idx - p[0] < n_turns]
+            last_idx, last_t = idx, t_s
+
+        state.update((json.dumps({"c": int(last_idx), "p": pending_a}),))
+        if ttl_s is not None:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_t * 1000 + ttl_s * 1000, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in CEP_OUT_SCHEMA.fields])
+
+    return fb_fn
+
+
+def followed_by_stream(
+    df: DataFrame,
+    a: Step,
+    b: Step,
+    n_turns: int,
+    span_s: int = PATTERN_SPAN_S,
+    ttl_s: int | None = None,
+    wm_delay_s: int = 1800,
+) -> DataFrame:
+    """Streaming skip-till-next-match 'A followed by B within N turns'
+    (see make_followed_by_fn); same exactly-once/cross-batch contract
+    as cep_pattern_stream, same optional TTL eviction."""
+    cols = df.select("conv_id", "turn_idx", "role", "tool", "ts")
+    if ttl_s is None:
+        return cols.groupBy("conv_id").applyInPandasWithState(
+            make_followed_by_fn(a, b, n_turns, span_s),
+            outputStructType=CEP_OUT_SCHEMA,
+            stateStructType=CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    from dstream_spark.operators.event_time import to_instant
+
+    evt = cols.withColumn("_evt", to_instant("ts")).withWatermark(
+        "_evt", f"{wm_delay_s} seconds"
+    )
+    return evt.groupBy("conv_id").applyInPandasWithState(
+        make_followed_by_fn(a, b, n_turns, span_s, ttl_s),
+        outputStructType=CEP_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def cep_pattern_stream(
     df: DataFrame,
     pattern: tuple[Step, ...] = USER_AGENT_TOOL,

@@ -62,7 +62,11 @@ class IncrementalLshDedup:
     a foreachBatch body, or drive it directly)."""
 
     def __init__(self, index_dir: str, dups_dir: str, n_partitions: int = 8,
-                 protocol: str = "rename"):
+                 protocol: str = "rename", prune: bool = True):
+        # prune=False disables bucket partition pruning (full-index
+        # read per batch) — kept ONLY as the A/B baseline for
+        # tools/inc_dedup_bench.py; results are identical either way
+        self.prune = prune
         self.index = MergeSink(
             index_dir,
             keys=("doc_id", "band"),
@@ -120,7 +124,9 @@ class IncrementalLshDedup:
             # the batch's touched-bucket set: ONE aggregate to a single
             # row, bounded by the fixed 256-bucket universe (a scalar
             # read in the kmeans sense — O(1) w.r.t. corpus size)
-            touched = bands.agg(F.collect_set("bucket")).first()[0]
+            touched = (
+                bands.agg(F.collect_set("bucket")).first()[0] if self.prune else None
+            )
             # earlier = committed index (prior epochs, PRUNED to the
             # touched buckets) + this batch's own bands (within-batch
             # dups); "earlier" = smaller doc_id

@@ -1184,67 +1184,70 @@ QUERIES.update(EXT_QUERIES)
 QUERIES.update(LLM_QUERIES)
 
 # Driver-gate prioritization: the per-round correctness gate samples a
-# subset of this registry in iteration order, so entries WITHOUT a
-# green CORRECTNESS row from a prior round lead the dict — every
-# claimed operator accumulates a hard-signal row over the rounds.
-# Round-4 rotation (r3 verdict task #1): the NEW r4 entries lead,
-# followed by the 43 entries whose last green row is from r2 — the r3
-# refactors (fan_out / CommitProtocol / queries_base split) touched
-# code under most of them, so CORRECTNESS_r04 re-gates all of them and
-# completes a second full-registry sweep (r3 ∪ r4 = everything).
+# subset of this registry in iteration order (window = 50), so entries
+# WITHOUT a fresh green CORRECTNESS row lead the dict. Round-5 rotation
+# (r4 verdict task #3): the NEW r5 entries first, then the r4-gated
+# entries whose code the r5 refactors touched (cep.py TTL/NULL-safety,
+# cdc.py cursor factory, merge.py hive layout + _write_data, the
+# packer parameterization), then the 50 r3-gated entries minus 12
+# deferred to r6 — the deferrals are exactly the entries the judge
+# re-verified hash-exact in its r4 spot-check or whose pure-batch SQL
+# is untouched since r1 (tpch_q12/q14/q19, multimodal_resize), so they
+# hold the freshest remaining signal.
 _GATE_PRIORITY = [
-    # new in r4 (never gated)
-    "docs_para_dedup",
-    "docs_bpe_merged",
+    # new in r5 (never gated)
+    "inc_dedup_log",
+    "emb_ivf_trained_topk",
+    "cep_followed_by",
+    "stream_cep_followed_by",
+    # r4-gated, refactored under in r5
     "docs_pack_bpe",
+    "stream_cursor_dedup",
+    "stream_cep_retry",
     "cep_tool_retry",
     "cep_tool_retry_same",
-    "stream_cep_retry",
-    "emb_kmeans_converged",
-    # last green in r2, refactored under in r3 (registry minus r3 keys)
-    "tool_correlation",
-    "lineage_summary",
-    "skew_salted_agg",
-    "watermark_late_drop",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "top_events_per_user",
-    "daily_event_mix",
-    "clicked_never_purchased",
-    "docs_token_stats",
-    "docs_quality",
-    "docs_langid",
-    "docs_langid_ngram",
-    "docs_rolling_hash",
-    "docs_fingerprint",
-    "docs_exact_dedup",
-    "docs_ngram_jaccard",
-    "docs_ngram_jaccard_capped",
-    "docs_minhash_bands",
-    "docs_minhash_pairs",
-    "docs_minhash_verified",
-    "docs_simhash",
-    "docs_simhash_dups",
-    "stream_tumbling_counts",
     "stream_exactly_once",
-    "stream_cursor_dedup",
-    "stream_session_windows",
-    "stream_sliding_counts",
     "stream_window_sink",
     "stream_multi_sink",
-    "stream_static_enrich",
-    "emb_norms",
-    "emb_cosine_topk",
-    "emb_ivf_assign",
-    "asof_join_tool",
-    "running_turn_counts",
-    "turn_gaps",
-    "rollup_event_stats",
-    "conv_role_pivot",
-    "median_value_by_type",
-    "orders_with_late_lineitems",
+    # r3-gated (stale since the r4 refactors; judge asked for this rotation)
+    "stream_cdc_deletes",
+    "stream_hourly_daily_rollup",
+    "stream_dedup_sessions",
+    "role_transitions",
+    "stream_cep_pattern",
+    "docs_simhash_wide_dups",
+    "docs_repetition",
+    "docs_pack_greedy",
+    "docs_decontaminate",
+    "cep_user_agent_tool",
+    "event_value_percentiles",
+    "envelope_parse",
+    "conv_renumber",
+    "tpch_q18",
+    "emb_ivf_topk",
+    "docs_bpe_tokens",
+    "emb_lsh_buckets",
+    "emb_lsh_pairs",
+    "cube_event_stats",
+    "tool_correlation_salted",
+    "stream_dedup_watermark",
+    "customers_without_orders",
+    "conv_first_last",
+    "term_frequency",
+    "multimodal_features",
+    "envelope_projection",
+    "users_click_and_error",
+    "pandas_udf_norm",
+    "stream_tool_join",
+    "tpch_q4",
+    "tpch_q10",
+    "emb_near_dup_pairs",
+    "relay_identity",
+    "cdc_dedup",
+    "cdc_latest_state",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
 ]
 assert all(n in QUERIES for n in _GATE_PRIORITY), "stale gate-priority name"
 QUERIES = {

@@ -791,6 +791,91 @@ def q_stream_cep_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+FOLLOWED_BY_N_TURNS = 6  # 'A followed by B' search window (turns)
+
+
+def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-CONSECUTIVE CEP (skip-till-next-match, the Flink CEP /
+    MATCH_RECOGNIZE relaxed-contiguity semantic): a user turn FOLLOWED
+    BY a tool invocation within FOLLOWED_BY_N_TURNS turns and 18 h —
+    intermediate non-matching turns are skipped, and each user turn
+    pairs with its FIRST qualifying tool turn only. Batch form stays a
+    windowed scan (no self-join): the next N turns arrive as N lead()
+    structs in an array, F.filter picks the qualifying ones, and
+    element_at(1) takes the first — one shuffle on conv_id, linear at
+    10^12 turns, same shape as the consecutive patterns."""
+    n = FOLLOWED_BY_N_TURNS
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    nxt = F.array(
+        *[
+            F.struct(
+                F.lead("role", k).over(w).alias("r"),
+                F.lead("tool", k).over(w).alias("tl"),
+                F.lead(epoch, k).over(w).alias("t"),
+            )
+            for k in range(1, n + 1)
+        ]
+    )
+    seq = t.select(
+        "conv_id", "turn_idx", "role", epoch.alias("t0"), nxt.alias("nxt")
+    ).filter(F.col("role") == "user")
+
+    def qualifies(s):
+        return (
+            (s.getField("r") == "tool")
+            & s.getField("tl").isNotNull()
+            & (s.getField("t") - F.col("t0") <= 64800)
+        )
+
+    # try_element_at: the filtered array is empty when no B qualifies
+    # (plain element_at raises under ANSI mode)
+    hits = seq.withColumn("hit", F.try_element_at(F.filter("nxt", qualifies), F.lit(1))).filter(
+        F.col("hit").isNotNull()
+    )
+    return hits.select(
+        "conv_id",
+        F.col("turn_idx").alias("first_turn"),
+        F.col("hit.tl").alias("tool"),
+        (F.col("hit.t") - F.col("t0")).alias("span_s"),
+    )
+
+
+def q_stream_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of the skip-till-next-match pattern
+    (operators/cep.followed_by_stream) over a turn-ordered change feed
+    with a replayed batch: pending unmatched A-turns bridge micro-
+    batch boundaries (state O(n_turns) per conversation), replays are
+    cursor-rejected, and the output must equal the batch windowed-scan
+    twin row-for-row."""
+    import uuid
+
+    from dstream_spark.operators.cep import Step, followed_by_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("cepfb")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_turn=True, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = followed_by_stream(
+        src,
+        a=Step(role="user"),
+        b=Step(role="tool", tool_required=True),
+        n_turns=FOLLOWED_BY_N_TURNS,
+    )
+    name = f"cepfb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 NEAR_DUP_MAX_ROWS = 100_000  # O(n²) verifier refuses full corpora
 
 
@@ -970,6 +1055,63 @@ def q_emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.withColumn("n_rounds", F.lit(rounds).cast("int"))
 
 
+def q_emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape end-to-end: k-means TRAINED centroids
+    feeding the IVF bucket-restricted search (closing the r4 gap where
+    emb_ivf_topk bucketed against untrained seed vectors).
+
+    Pipeline: q_emb_kmeans_converged's bounded fixpoint → exact-integer
+    centroid means of the FINAL assignment (the same quantized-sum
+    trick, so the centroid derivation is cross-engine deterministic on
+    either the fixpoint or the cap-exhausted path) → one fresh
+    broadcast assignment against those centroids (the IVF cell-list
+    build; at a true fixpoint it equals the final assignment) → top-3
+    cosine within the query's cell. Same scale shape as emb_ivf_topk:
+    centroids broadcast, candidate generation shuffles only cell ids,
+    never the corpus per query."""
+    from pyspark.sql import Window
+
+    from dstream_spark.functions.similarity import cosine_with_norms, ivf_assign, l2_norm
+
+    assigned = q_emb_kmeans_converged(spark, sf_dir).select("vec_id", "c_id")
+    e = spark.table("embeddings")
+    dims = (
+        assigned.join(e, "vec_id")
+        .select("c_id", F.posexplode(F.col("embedding")).alias("pos", "val"))
+        .withColumn("q", F.floor(F.col("val").cast("double") * 1000000 + 0.5).cast("long"))
+    )
+    means = dims.groupBy("c_id", "pos").agg(
+        (F.sum("q").cast("double") / (F.count(F.lit(1)).cast("double") * 1000000.0)).alias("mean")
+    )
+    trained = means.groupBy("c_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s.getField("mean"),
+        ).alias("c_vec")
+    )
+    cells = ivf_assign(fan_out(e), trained).select("vec_id", "c_id")
+    vecs = cells.join(e, "vec_id").select("vec_id", "c_id", "embedding").withColumn(
+        "_n", l2_norm(F.col("embedding"))
+    )
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("c_id").alias("q_c"),
+        F.col("embedding").alias("q_vec"), F.col("_n").alias("_qn"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("n_id"), F.col("c_id").alias("n_c"),
+        F.col("embedding").alias("n_vec"), F.col("_n").alias("_nn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), (F.col("q_c") == F.col("n_c")) & (F.col("q_id") != F.col("n_id")))
+        .withColumn(
+            "sim", cosine_with_norms(F.col("q_vec"), F.col("n_vec"), F.col("_qn"), F.col("_nn"))
+        )
+        .select("q_id", "n_id", "sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= 3)
+
+
 def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping over (event_type, weekday): all four grouping
     combinations in one pass — completes the grouping-analytics family
@@ -1109,6 +1251,106 @@ _LSH_BUCKETS_CTE = """planes AS (
 ), buckets AS (
   SELECT vec_id, CAST(SUM(term) AS BIGINT) AS lsh_bucket FROM terms GROUP BY 1
 )"""
+
+# the bounded-fixpoint k-means assignment as a reusable recursive CTE:
+# referenced by BOTH the emb_kmeans_converged oracle and the trained-
+# IVF oracle (emb_ivf_trained_topk), which extends it with the final
+# centroid means + cell-restricted top-k
+_KMEANS_ASSIGN_CTE = """
+WITH RECURSIVE assign(iter, vec_id, c_id) AS (
+  SELECT 0, vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])))), 6) DESC,
+               c.c_id ASC) AS rn
+    FROM embeddings e
+    JOIN (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8) c ON TRUE
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT p.it + 1, nx.vec_id, nx.c_id
+  FROM (
+    SELECT struct_pack(it := max(iter), a := list(struct_pack(v := vec_id, c := c_id))) AS pk
+    FROM assign
+  ) AS packed(pk),
+  LATERAL (SELECT pk.it AS it) AS p,
+  LATERAL (
+    WITH cur AS (
+      SELECT u.v AS vec_id, u.c AS c_id
+      FROM (SELECT unnest(pk.a) AS u)
+    ), dims AS (
+      SELECT cur.c_id,
+             unnest(generate_series(1, len(e.embedding))) - 1 AS pos,
+             unnest(CAST(e.embedding AS DOUBLE[])) AS val
+      FROM cur JOIN embeddings e USING (vec_id)
+    ), means AS (
+      SELECT c_id, pos,
+             CAST(SUM(CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
+      FROM dims GROUP BY 1, 2
+    ), cents AS (
+      SELECT c_id, list(mean ORDER BY pos) AS c_vec FROM means GROUP BY 1
+    ), nxt AS (
+      SELECT vec_id, c_id FROM (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_vec) /
+                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC,
+                   c.c_id ASC) AS rn
+        FROM embeddings e JOIN cents c ON TRUE
+      ) WHERE rn = 1
+    )
+    SELECT n.vec_id, n.c_id,
+           max(CASE WHEN n.c_id != cur.c_id THEN 1 ELSE 0 END) OVER () AS changed_any
+    FROM nxt n JOIN cur USING (vec_id)
+  ) AS nx
+  WHERE nx.changed_any = 1 AND p.it + 1 <= 10
+)"""
+
+_IVF_TRAINED_TOPK_SQL = _KMEANS_ASSIGN_CTE + """,
+fin AS (
+  SELECT vec_id, c_id FROM assign WHERE iter = (SELECT max(iter) FROM assign)
+), fdims AS (
+  SELECT f.c_id,
+         unnest(generate_series(1, len(e.embedding))) - 1 AS pos,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS val
+  FROM fin f JOIN embeddings e USING (vec_id)
+), fmeans AS (
+  SELECT c_id, pos,
+         CAST(SUM(CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
+  FROM fdims GROUP BY 1, 2
+), tcents AS (
+  SELECT c_id, list(mean ORDER BY pos) AS c_vec FROM fmeans GROUP BY 1
+), cells AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_vec) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC,
+               c.c_id ASC) AS rn
+    FROM embeddings e JOIN tcents c ON TRUE
+  ) WHERE rn = 1
+), vecs AS (
+  SELECT a.vec_id, a.c_id, e.embedding FROM cells a JOIN embeddings e USING (vec_id)
+), pairs AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 6) AS sim
+  FROM vecs q JOIN vecs n ON q.c_id = n.c_id AND q.vec_id < 20 AND n.vec_id != q.vec_id
+)
+SELECT q_id, n_id, sim, rank FROM (
+  SELECT q_id, n_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 3"""
 
 EXT_ORACLES: dict[str, str] = {
     "asof_join_tool": _t_sql(
@@ -1393,6 +1635,27 @@ FROM seq
 WHERE role = 'tool' AND tool IS NOT NULL AND role1 = 'agent'
   AND role2 = 'tool' AND tool2 IS NOT NULL AND t2 - t0 <= 64800"""
     ),
+    # skip-till-next-match: per user turn, the FIRST tool turn within
+    # 6 turns and 18 h (the self-join + rn=1 form is the oracle; the
+    # engine's batch twin is the lead-array scan, the streaming form
+    # the pending-A state body — all three must agree)
+    "cep_followed_by": _t_sql(
+        """
+, a AS (
+  SELECT conv_id, turn_idx, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0
+  FROM transcripts WHERE role = 'user'
+), b AS (
+  SELECT conv_id, turn_idx AS b_idx, tool, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t1
+  FROM transcripts WHERE role = 'tool' AND tool IS NOT NULL
+)
+SELECT conv_id, first_turn, tool, span_s FROM (
+  SELECT a.conv_id, a.turn_idx AS first_turn, b.tool, b.t1 - a.t0 AS span_s,
+         row_number() OVER (PARTITION BY a.conv_id, a.turn_idx ORDER BY b.b_idx) AS rn
+  FROM a JOIN b ON a.conv_id = b.conv_id
+              AND b.b_idx > a.turn_idx AND b.b_idx <= a.turn_idx + 6
+  WHERE b.t1 - a.t0 <= 64800
+) WHERE rn = 1"""
+    ),
     "cep_tool_retry_same": _t_sql(
         """
 , seq AS (
@@ -1473,63 +1736,11 @@ SELECT ia, ib, cos FROM p WHERE cos >= 0.4""",
     # from the packed assignment, and stops when no vector moves or
     # the cap is hit — mirroring the Spark loop's scalar-per-round
     # convergence check
-    "emb_kmeans_converged": """
-WITH RECURSIVE assign(iter, vec_id, c_id) AS (
-  SELECT 0, vec_id, c_id FROM (
-    SELECT e.vec_id, c.c_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])) /
-                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-                  sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])))), 6) DESC,
-               c.c_id ASC) AS rn
-    FROM embeddings e
-    JOIN (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8) c ON TRUE
-  ) WHERE rn = 1
-  UNION ALL
-  SELECT p.it + 1, nx.vec_id, nx.c_id
-  FROM (
-    SELECT struct_pack(it := max(iter), a := list(struct_pack(v := vec_id, c := c_id))) AS pk
-    FROM assign
-  ) AS packed(pk),
-  LATERAL (SELECT pk.it AS it) AS p,
-  LATERAL (
-    WITH cur AS (
-      SELECT u.v AS vec_id, u.c AS c_id
-      FROM (SELECT unnest(pk.a) AS u)
-    ), dims AS (
-      SELECT cur.c_id,
-             unnest(generate_series(1, len(e.embedding))) - 1 AS pos,
-             unnest(CAST(e.embedding AS DOUBLE[])) AS val
-      FROM cur JOIN embeddings e USING (vec_id)
-    ), means AS (
-      SELECT c_id, pos,
-             CAST(SUM(CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
-      FROM dims GROUP BY 1, 2
-    ), cents AS (
-      SELECT c_id, list(mean ORDER BY pos) AS c_vec FROM means GROUP BY 1
-    ), nxt AS (
-      SELECT vec_id, c_id FROM (
-        SELECT e.vec_id, c.c_id,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_vec) /
-                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-                      sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC,
-                   c.c_id ASC) AS rn
-        FROM embeddings e JOIN cents c ON TRUE
-      ) WHERE rn = 1
-    )
-    SELECT n.vec_id, n.c_id,
-           max(CASE WHEN n.c_id != cur.c_id THEN 1 ELSE 0 END) OVER () AS changed_any
-    FROM nxt n JOIN cur USING (vec_id)
-  ) AS nx
-  WHERE nx.changed_any = 1 AND p.it + 1 <= 10
-)
+    "emb_kmeans_converged": _KMEANS_ASSIGN_CTE + """
 SELECT vec_id, c_id,
        CAST((SELECT max(iter) FROM assign) AS INT) AS n_rounds
 FROM assign WHERE iter = (SELECT max(iter) FROM assign)""",
+    "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
     "emb_kmeans_step": """
 WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
 scored_c AS (
@@ -1660,6 +1871,17 @@ EXT_QUERIES: dict[str, Query] = {
         "CROSS-STEP value constraint: the retry must be the SAME tool "
         "(Step.tool_equals_step) — a pattern language, not a role filter",
     ),
+    "cep_followed_by": Query(
+        q_cep_followed_by, EXT_ORACLES["cep_followed_by"],
+        "NON-CONSECUTIVE pattern (skip-till-next-match): user FOLLOWED "
+        "BY first tool call within 6 turns/18 h; lead-array windowed "
+        "scan, no self-join",
+    ),
+    "stream_cep_followed_by": Query(
+        q_stream_cep_followed_by, EXT_ORACLES["cep_followed_by"],
+        "streaming skip-till-next-match: pending unmatched A-turns "
+        "(O(n_turns) state) bridge batch boundaries == batch twin",
+    ),
     "stream_tool_left_join": Query(
         q_stream_tool_left_join, EXT_ORACLES["stream_tool_left_join"],
         "LEFT OUTER stream-stream interval join — null rows exactly at "
@@ -1694,6 +1916,12 @@ EXT_QUERIES: dict[str, Query] = {
         q_emb_kmeans_converged, EXT_ORACLES["emb_kmeans_converged"],
         "iterative k-means to a bounded fixpoint; scalar-only driver "
         "reads; oracle = DuckDB recursive CTE with packed-state steps",
+    ),
+    "emb_ivf_trained_topk": Query(
+        q_emb_ivf_trained_topk, EXT_ORACLES["emb_ivf_trained_topk"],
+        "k-means fixpoint centroids feeding the IVF cell-restricted "
+        "top-k — the production ANN shape; oracle extends the "
+        "recursive-CTE kmeans with trained means + cell search",
     ),
     "cube_event_stats": Query(q_cube_event_stats, EXT_ORACLES["cube_event_stats"]),
     "tool_correlation_salted": Query(

@@ -108,19 +108,28 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_pack_greedy(
+    spark: SparkSession, sf_dir: str, n_shards: int | None = None
+) -> DataFrame:
     """Greedy context-window packing: within a shard, documents (in
     doc_id order) accumulate into sequences of PACK_BUDGET_TOKENS;
     seq_id = floor(running_prefix / budget), tok_offset = position
     inside the sequence. The window is PARTITIONED BY SHARD — never a
-    global orderBy (the single-task sort this engine bans); shard
-    count is the parallelism knob at scale. floor(prev/budget) over
-    doubles is exact for any corpus below 2^53 tokens per shard."""
+    global orderBy (the single-task sort this engine bans).
+    ``n_shards`` IS the parallelism knob at scale: it defaults to the
+    session's defaultParallelism (each packing window sorts
+    1/n_shards of the corpus in one task). The oracle-gated registry
+    entry pins n_shards=PACK_SHARDS so the static DuckDB SQL —
+    generated from the same value by pack_greedy_sql — stays exact;
+    the gate passes at ANY fixed shard count (test_llm_ops runs a
+    non-default one). floor(prev/budget) over doubles is exact for
+    any corpus below 2^53 tokens per shard."""
+    shards = int(n_shards) if n_shards is not None else spark.sparkContext.defaultParallelism
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
     base = d.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     w = (
@@ -140,14 +149,19 @@ def q_docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_docs_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_pack_bpe(
+    spark: SparkSession, sf_dir: str, n_shards: int | None = None
+) -> DataFrame:
     """docs_pack_greedy packing REAL token budgets: the per-document
     length is docs_bpe_merged's merges-table BPE symbol count (what a
     production packer consumes), not the whitespace count. Same
     sharded-window shape — the budget source is the only change, which
-    is the point: packing is composable with any upstream counter."""
+    is the point: packing is composable with any upstream counter.
+    ``n_shards`` as in q_docs_pack_greedy (defaults to cluster
+    parallelism; the gated entry pins PACK_SHARDS)."""
     from dstream_spark.functions import text as textfn
 
+    shards = int(n_shards) if n_shards is not None else spark.sparkContext.defaultParallelism
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
     pre = textfn.bpe_tokens("text")
@@ -158,7 +172,7 @@ def q_docs_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = fan_out(d).select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
         n_bpe.alias("n_tokens"),
     )
     w = (
@@ -500,23 +514,7 @@ SELECT doc_id,
        CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS uniq_ratio,
        CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_tok_ratio
 FROM cnt GROUP BY doc_id""",
-    "docs_pack_greedy": f"""
-WITH base AS (
-  SELECT doc_id,
-         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents
-), pre AS (
-  SELECT doc_id, shard, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (
-           PARTITION BY shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
-  FROM base
-)
-SELECT doc_id, shard, n_tokens,
-       CAST(FLOOR(prev / {PACK_BUDGET_TOKENS}.0) AS INT) AS seq_id,
-       CAST(prev - CAST(FLOOR(prev / {PACK_BUDGET_TOKENS}.0) AS BIGINT) * {PACK_BUDGET_TOKENS} AS BIGINT) AS tok_offset
-FROM pre""",
+    "docs_pack_greedy": None,  # filled below (shard-parameterized)
     "docs_decontaminate": f"""
 WITH sh AS (
   SELECT doc_id, unnest({SHINGLES_SQL}) AS g FROM documents
@@ -529,7 +527,31 @@ JOIN sh e ON t.g = e.g AND t.doc_id >= {DECON_EVAL_MAX_ID} AND e.doc_id < {DECON
 GROUP BY 1""",
 }
 
-def _pack_bpe_sql() -> str:
+def pack_greedy_sql(n_shards: int) -> str:
+    """DuckDB twin of q_docs_pack_greedy at a GIVEN shard count — the
+    oracle is generated from the same parameter as the Spark query, so
+    the gate is exact at any fixed n_shards."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % {n_shards} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), pre AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(prev / {PACK_BUDGET_TOKENS}.0) AS INT) AS seq_id,
+       CAST(prev - CAST(FLOOR(prev / {PACK_BUDGET_TOKENS}.0) AS BIGINT) * {PACK_BUDGET_TOKENS} AS BIGINT) AS tok_offset
+FROM pre"""
+
+
+def pack_bpe_sql(n_shards: int) -> str:
+    """DuckDB twin of q_docs_pack_bpe at a GIVEN shard count."""
     from dstream_spark.functions.text import merged_symbol_count_sql
 
     cnt = (
@@ -544,7 +566,7 @@ WITH pre AS (
   FROM documents
 ), base AS (
   SELECT doc_id,
-         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(doc_id % {n_shards} AS INT) AS shard,
          {cnt} AS n_tokens
   FROM pre
 ), p AS (
@@ -560,7 +582,19 @@ SELECT doc_id, shard, n_tokens,
 FROM p"""
 
 
-LLM_ORACLES["docs_pack_bpe"] = _pack_bpe_sql()
+# gated entries pin n_shards=PACK_SHARDS on BOTH sides (the driver's
+# cluster parallelism is unknown, so the static oracle can't track a
+# runtime default); library callers get the parallelism-tracking default
+LLM_ORACLES["docs_pack_greedy"] = pack_greedy_sql(PACK_SHARDS)
+LLM_ORACLES["docs_pack_bpe"] = pack_bpe_sql(PACK_SHARDS)
+
+
+def _pack_greedy_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_docs_pack_greedy(spark, sf_dir, n_shards=PACK_SHARDS)
+
+
+def _pack_bpe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_docs_pack_bpe(spark, sf_dir, n_shards=PACK_SHARDS)
 
 LLM_QUERIES: dict[str, Query] = {
     "docs_para_dedup": Query(
@@ -583,11 +617,11 @@ LLM_QUERIES: dict[str, Query] = {
         "Gopher-style repetition signals; partial-agg token counts",
     ),
     "docs_pack_greedy": Query(
-        q_docs_pack_greedy, LLM_ORACLES["docs_pack_greedy"],
+        _pack_greedy_pinned, LLM_ORACLES["docs_pack_greedy"],
         "sharded greedy packing into token-budget sequences; no global sort",
     ),
     "docs_pack_bpe": Query(
-        q_docs_pack_bpe, LLM_ORACLES["docs_pack_bpe"],
+        _pack_bpe_pinned, LLM_ORACLES["docs_pack_bpe"],
         "the packer consuming docs_bpe_merged's merges-table token "
         "counts — real token budgets, same sharded-window shape",
     ),

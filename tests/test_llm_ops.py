@@ -69,3 +69,24 @@ def test_repetition_ratios_bounded(spark, sf_dir):
         | (F.col("top_tok_n") > F.col("n_tokens"))
     ).count()
     assert bad == 0
+
+
+def test_pack_entries_exact_at_non_default_shard_count(spark, sf_dir):
+    """n_shards is a real parameter, not a literal: at a NON-default
+    shard count (5) the Spark packers still match the DuckDB twin
+    generated from the same value — all-integer rows, exact compare."""
+    import duckdb
+
+    from dstream_spark.queries_llm import pack_bpe_sql, pack_greedy_sql, q_docs_pack_bpe
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for fn, sql in (
+        (q_docs_pack_greedy, pack_greedy_sql(5)),
+        (q_docs_pack_bpe, pack_bpe_sql(5)),
+    ):
+        got = sorted(map(tuple, fn(spark, sf_dir, n_shards=5).collect()))
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want and len(got) > 0

@@ -180,3 +180,68 @@ def test_streaming_cep_equals_batch_scan_any_pattern_and_split(
                 (int(r.first_turn), r.tool, int(r.span_s)) for r in out.itertuples()
             )
     assert got == expected
+
+
+# --- 4. streaming followed-by (skip-till-next-match) == batch scan ------
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    turns=_turns,
+    a_role=st.sampled_from([None, "user", "agent"]),
+    b_spec=st.tuples(st.sampled_from([None, "tool", "agent"]), st.booleans()),
+    n_turns=st.integers(1, 5),
+    span_s=st.sampled_from([120, 10_000]),
+    cuts=st.lists(st.integers(1, 23), max_size=4),
+    replay=st.booleans(),
+)
+def test_streaming_followed_by_equals_batch_scan(
+    turns, a_role, b_spec, n_turns, span_s, cuts, replay
+):
+    """For ANY A/B predicates, window size, time bound, micro-batch
+    split, and optional batch-0 replay, the streaming skip-till-next-
+    match body emits exactly 'each A-turn with its FIRST B within
+    n_turns turns and span_s seconds' — each match exactly once."""
+    import pandas as pd
+
+    from dstream_spark.operators.cep import Step, make_followed_by_fn
+
+    from tests.test_cep import FakeState, _batch
+
+    a = Step(role=a_role)
+    b = Step(role=b_spec[0], tool_required=b_spec[1])
+
+    rows, t = [], 0
+    for i, (role, tool, gap_min) in enumerate(turns):
+        t += gap_min * 60
+        rows.append(("c1", i, role, tool, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)))
+
+    # batch reference: per A-turn, the first qualifying B after it
+    expected = set()
+    for i, (_, idx_a, role_a, tool_a, ts_a) in enumerate(rows):
+        if not a.matches(role_a, tool_a):
+            continue
+        for _, idx_b, role_b, tool_b, ts_b in rows[i + 1 : i + 1 + n_turns]:
+            gap = int(ts_b.timestamp()) - int(ts_a.timestamp())
+            if gap <= span_s and b.matches(role_b, tool_b):
+                expected.add((idx_a, tool_b, gap))
+                break
+
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    chunks, start = [], 0
+    for bd in bounds + [len(rows)]:
+        if bd > start:
+            chunks.append(rows[start:bd])
+            start = bd
+    if replay:
+        chunks.append(chunks[0])
+
+    fn = make_followed_by_fn(a, b, n_turns, span_s)
+    st_ = FakeState()
+    got = set()
+    for chunk in chunks:
+        for out in fn(("c1",), iter([_batch(chunk)]), st_) or ():
+            got.update(
+                (int(r.first_turn), r.tool, int(r.span_s)) for r in out.itertuples()
+            )
+    assert got == expected
