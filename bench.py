@@ -125,11 +125,24 @@ def main() -> None:
     # warm the JVM/file cache so per-query numbers measure the engine
     QUERIES["relay_identity"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def probe() -> float:
+        # host-epoch sanity probe (r4 verdict task #8): docs_token_stats
+        # measured 0.39 s vs 0.97 s in fresh sessions 20 min apart on a
+        # quiet VM — bracketing the headline pass with this one number
+        # makes cross-round per-query comparisons interpretable
+        t0 = time.time()
+        QUERIES["docs_token_stats"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    probe_pre = probe()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
+    probe_post = probe()
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -142,6 +155,7 @@ def main() -> None:
                 "sf": sf,
                 "cores": cores,
                 "stream": stream,
+                "epoch_probe": {"pre_s": probe_pre, "post_s": probe_post},
             }
         )
     )
