@@ -123,7 +123,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     ],
     # round-4 additions
     "docs_para_dedup": [
-        ("ReadSchema: struct<doc_id:bigint,text:string>", "only doc_id+text read"),
+        # the exploded (doc_id, para_md5) table is MATERIALIZED once
+        # (r4) — this plan scans it pruned; the documents text scan
+        # happens in the materialization pass, not per branch
+        ("ReadSchema: struct<doc_id:bigint,para_md5:string>", "pruned scan of the materialized hash table"),
         ("HashAggregate", "paragraph-hash counts partial-aggregate map-side"),
         ("!CartesianProduct", "count join is an equi-join on the 16-byte hash"),
         ("!BroadcastNestedLoopJoin", "no nested-loop fallback"),
@@ -141,6 +144,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("Window", "running prefix-sum window over BPE budgets"),
         ("!SinglePartition", "window pre-partitioned by shard — never a one-task global sort"),
         ("codegen id", "merge-table replaces codegen'd (final AQE plan)"),
+    ],
+    "cep_followed_by": [
+        ("Window", "lead-array scan over (conv_id, turn_idx)"),
+        ("!SinglePartition", "window partitioned by conv_id — linear at 10^12 turns"),
+        ("!SortMergeJoin", "skip-till-next-match WITHOUT a self-join: the N-turn lookahead is a lead() array"),
+        ("!CartesianProduct", "no unbounded pair blowup"),
+    ],
+    "emb_ivf_trained_topk": [
+        ("!CartesianProduct", "candidates only within the trained cell"),
+        ("BroadcastHashJoin", "query side broadcast into the cell join"),
     ],
 }
 
