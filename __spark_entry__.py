@@ -3,17 +3,20 @@
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
                  training-data-pipeline ops, ALL with DuckDB oracles,
-                 incl. SIXTEEN real Structured Streaming runs
+                 incl. SEVENTEEN real Structured Streaming runs
                  (tumbling/sliding aggs, exactly-once sink under
                  replay incl. the full insert/update/DELETE envelope
                  replayed at its ORIGINAL epoch id, stateful cursor,
                  session windows, stream-stream inner + LEFT OUTER
-                 interval joins, watermark dedup, TWO parameterized
-                 CEP patterns, update-mode windowed agg → keyed
-                 exactly-once MERGE, stream-static enrichment,
-                 two-destination fanout, and two MULTI-stateful
-                 chains: dedup → session windows and hourly → daily
-                 window rollup) checked against batch SQL
+                 interval joins, watermark dedup, THREE parameterized
+                 CEP patterns incl. non-consecutive skip-till-next-
+                 match, update-mode windowed agg → keyed exactly-once
+                 MERGE, stream-static enrichment, two-destination
+                 fanout, and two MULTI-stateful chains: dedup →
+                 session windows and hourly → daily window rollup)
+                 plus the micro-batch-fed incremental LSH dedup
+                 (inc_dedup_log: growing exactly-once band index under
+                 an original-epoch replay) checked against batch SQL
 oracle_sql()   — matching DuckDB SQL per query
 """
 

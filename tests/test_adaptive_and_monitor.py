@@ -325,3 +325,29 @@ def test_monitor_supervise_continuous_queries(spark, tmp_path):
     # after healing, the flaky table actually committed data
     assert flaky.inner.read_table(spark).count() > 0
     assert good_sink.read_table(spark).count() > 0
+
+
+def test_monitor_seeds_start_failure_as_first_attempt(spark, tmp_path):
+    """A table whose INITIAL run_all start fails enters supervise with
+    that failure counted as attempt 0: its error is in the report and
+    it gets exactly max_retries supervised restarts — not
+    max_retries + 1 with a silently dropped original error."""
+    mon = Monitor(
+        spark,
+        [
+            {
+                "name": "never_starts",
+                "source": {"type": "changefeed", "path": str(tmp_path / "nope")},
+                "sink": {"type": "console"},
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "trigger": {"availableNow": True},
+            }
+        ],
+    )
+    started = mon.run_all()
+    assert isinstance(started["never_starts"], Exception)  # recorded, not raised
+    report = mon.supervise(max_retries=1, base_backoff_s=0.05)
+    assert report["never_starts"]["ok"] is False
+    assert report["never_starts"]["error"] is not None  # start error surfaced
+    # attempt 0 = the run_all failure; exactly ONE supervised restart
+    assert report["never_starts"]["retries"] == 1
