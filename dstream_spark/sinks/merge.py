@@ -222,8 +222,18 @@ class MarkerCommitProtocol:
             shutil.rmtree(lin_path, ignore_errors=True)
 
     def data_read(self, spark: SparkSession, batch_ids: set[int]) -> DataFrame:
+        # one read per attempt root, each with ITSELF as basePath, then
+        # union: a single multi-root read cannot infer hive partition
+        # subdirs (bucket=XX under hive_partition_by sinks) because the
+        # attempt-<id> segment between the roots is not key=value
+        # (CONFLICTING_DIRECTORY_STRUCTURES). Root count = committed
+        # batches, bounded by compact().
         paths = [self._marker(b)["data"] for b in sorted(batch_ids)]
-        return spark.read.parquet(*paths)
+        dfs = [spark.read.option("basePath", p).parquet(p) for p in paths]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
     def lineage_read(self, spark: SparkSession) -> DataFrame:
         paths = [self._marker(b)["lineage"] for b in sorted(self.committed_batches())]

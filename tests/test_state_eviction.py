@@ -129,3 +129,29 @@ def test_cursor_ttl_output_equals_no_ttl_twin(spark, tmp_path):
     _, without = _run(cursor_dedup_stream(src2), spark, "twin_nottl")
     key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
     assert sorted(map(key, with_ttl.collect())) == sorted(map(key, without.collect()))
+
+
+def test_followed_by_idle_conversation_state_evicted(spark, tmp_path):
+    """The skip-till-next-match operator's TTL: conv A's pending
+    unmatched A-turns are evicted once the watermark passes them + TTL
+    (the span_s bound makes them dead state); conv B keeps matching."""
+    from dstream_spark.operators.cep import Step, followed_by_stream
+
+    feed = str(tmp_path / "fbfeed")
+    _write_feed(spark, feed, _feed_batches())
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = followed_by_stream(
+        src,
+        a=Step(role="user"),
+        b=Step(role="tool", tool_required=True),
+        n_turns=4,
+        span_s=600,
+        ttl_s=600,
+        wm_delay_s=60,
+    )
+    q, table = _run(out, spark, "fb_evict")
+    # B's user turn 0 (t+0) finds no tool within 600 s (tool at t+61min)
+    # and A never sees a tool — matches can still come from B turn 3's
+    # window onward: none here, so output is empty but state bounded
+    assert table.count() == 0
+    assert _final_state_rows(q) == 1  # only B's state survives
