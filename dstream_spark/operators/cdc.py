@@ -101,10 +101,12 @@ def make_cursor_fn(ttl_s: int | None = None):
         if getattr(state, "hasTimedOut", False):
             state.remove()  # idle conversation: watermark bounds any replay
             return
-        if state.exists:
-            max_seen, max_ts_s = (state.get if ttl_s is not None else (*state.get, 0))
-        else:
+        if not state.exists:
             max_seen, max_ts_s = -1, 0
+        elif ttl_s is None:
+            (max_seen,), max_ts_s = state.get, 0
+        else:
+            max_seen, max_ts_s = state.get
         cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch[batch["turn_idx"] > max_seen]
