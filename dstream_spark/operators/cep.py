@@ -209,6 +209,10 @@ def make_followed_by_fn(a: Step, b: Step, n_turns: int,
     span_s = B.ts - A.ts). ``ttl_s`` as in make_cep_fn: with the
     span_s time bound, state older than last_turn + span_s is dead and
     EventTimeTimeout-evictable."""
+    if a.tool_equals_step is not None or b.tool_equals_step is not None:
+        # cross-step capture indexes into a consecutive window; the
+        # followed-by form has no such window to index
+        raise ValueError("followed-by steps cannot use tool_equals_step")
 
     def fb_fn(key, pdfs, state):
         import pandas as pd
