@@ -1005,6 +1005,12 @@ def _stream_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_inc_dedup(spark, sf_dir)
 
 
+def _stream_cursor_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_cursor_dedup_ttl
+
+    return stream_cursor_dedup_ttl(spark, sf_dir)
+
+
 # closed sessions only: window end (last event + gap) <= final
 # watermark (max ts - delay); gap = delay = 30 min (predicate verified
 # at the boundary — see stream_session_windows docstring)
@@ -1108,6 +1114,12 @@ QUERIES: dict[str, Query] = {
     "stream_cursor_dedup": Query(
         _stream_cursor, ORACLES["relay_identity"],
         "applyInPandasWithState per-conv cursor over in-order feed + replay",
+    ),
+    "stream_cursor_dedup_ttl": Query(
+        _stream_cursor_ttl, ORACLES["relay_identity"],
+        "the cursor WITH EventTimeTimeout TTL eviction over a "
+        "time-ordered feed + replay (late-filter absorbs it) == "
+        "identity; built r5, r6 gate window (rotation plan, COVERAGE.md)",
     ),
     "stream_session_windows": Query(
         _stream_sessions,

@@ -1055,23 +1055,14 @@ def q_emb_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.withColumn("n_rounds", F.lit(rounds).cast("int"))
 
 
-def q_emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production ANN shape end-to-end: k-means TRAINED centroids
-    feeding the IVF bucket-restricted search (closing the r4 gap where
-    emb_ivf_topk bucketed against untrained seed vectors).
-
-    Pipeline: q_emb_kmeans_converged's bounded fixpoint → exact-integer
-    centroid means of the FINAL assignment (the same quantized-sum
-    trick, so the centroid derivation is cross-engine deterministic on
-    either the fixpoint or the cap-exhausted path) → one fresh
-    broadcast assignment against those centroids (the IVF cell-list
-    build; at a true fixpoint it equals the final assignment) → top-3
-    cosine within the query's cell. Same scale shape as emb_ivf_topk:
-    centroids broadcast, candidate generation shuffles only cell ids,
-    never the corpus per query."""
-    from pyspark.sql import Window
-
-    from dstream_spark.functions.similarity import cosine_with_norms, ivf_assign, l2_norm
+def _ivf_trained_cells(spark: SparkSession, sf_dir: str):
+    """Shared trained-IVF build: k-means fixpoint → exact-integer
+    centroid means of the FINAL assignment (cross-engine deterministic
+    on either the fixpoint or cap-exhausted path) → one fresh
+    broadcast assignment against those centroids (the cell-list
+    build). Returns (trained_centroids, vecs) where vecs = (vec_id,
+    c_id, embedding, _n norm)."""
+    from dstream_spark.functions.similarity import ivf_assign, l2_norm
 
     assigned = q_emb_kmeans_converged(spark, sf_dir).select("vec_id", "c_id")
     e = spark.table("embeddings")
@@ -1093,10 +1084,16 @@ def q_emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = cells.join(e, "vec_id").select("vec_id", "c_id", "embedding").withColumn(
         "_n", l2_norm(F.col("embedding"))
     )
-    q = vecs.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("c_id").alias("q_c"),
-        F.col("embedding").alias("q_vec"), F.col("_n").alias("_qn"),
-    )
+    return trained, vecs
+
+
+def _cell_topk(q, vecs, k: int = 3) -> DataFrame:
+    """Top-k cosine per query over candidates sharing the query's
+    probed cell(s). q = (q_id, q_c, q_vec, _qn) — one row per probe."""
+    from pyspark.sql import Window
+
+    from dstream_spark.functions.similarity import cosine_with_norms
+
     c = vecs.select(
         F.col("vec_id").alias("n_id"), F.col("c_id").alias("n_c"),
         F.col("embedding").alias("n_vec"), F.col("_n").alias("_nn"),
@@ -1109,7 +1106,55 @@ def q_emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= 3)
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+def q_emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape end-to-end: k-means TRAINED centroids
+    feeding the IVF cell-restricted search (closing the r4 gap where
+    emb_ivf_topk bucketed against untrained seed vectors) — top-3
+    cosine within the query's own cell. Same scale shape as
+    emb_ivf_topk: centroids broadcast, candidate generation shuffles
+    only cell ids, never the corpus per query."""
+    _, vecs = _ivf_trained_cells(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("c_id").alias("q_c"),
+        F.col("embedding").alias("q_vec"), F.col("_n").alias("_qn"),
+    )
+    return _cell_topk(q, vecs)
+
+
+def q_emb_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE trained IVF (nprobe=2, the standard ANN recall
+    knob): each query searches its TWO nearest trained cells instead
+    of one, roughly doubling candidates per query while the corpus
+    side still shuffles nothing — probes are rows of the broadcast
+    query table. Candidate sets of the two probes are disjoint (every
+    corpus vector lives in exactly one cell), so no dedup pass is
+    needed. Measured recall@3 vs brute force: see BENCH/NOTES.md."""
+    from pyspark.sql import Window
+
+    from dstream_spark.functions.similarity import cosine_with_norms, l2_norm
+
+    trained, vecs = _ivf_trained_cells(spark, sf_dir)
+    e = spark.table("embeddings")
+    qv = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
+    scored_c = qv.join(
+        F.broadcast(trained.withColumn("_cn", l2_norm(F.col("c_vec"))))
+    ).withColumn(
+        "sim", cosine_with_norms(F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    probes = (
+        scored_c.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", F.col("c_id").alias("q_c"), "q_vec", "_qn")
+    )
+    return _cell_topk(probes, vecs)
 
 
 def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,7 +1356,9 @@ WITH RECURSIVE assign(iter, vec_id, c_id) AS (
   WHERE nx.changed_any = 1 AND p.it + 1 <= 10
 )"""
 
-_IVF_TRAINED_TOPK_SQL = _KMEANS_ASSIGN_CTE + """,
+# kmeans fixpoint -> trained centroid means -> corpus cell assignment:
+# shared by the single-probe and multi-probe trained-IVF oracles
+_IVF_TRAINED_CELLS_CTE = _KMEANS_ASSIGN_CTE + """,
 fin AS (
   SELECT vec_id, c_id FROM assign WHERE iter = (SELECT max(iter) FROM assign)
 ), fdims AS (
@@ -1339,12 +1386,43 @@ fin AS (
   ) WHERE rn = 1
 ), vecs AS (
   SELECT a.vec_id, a.c_id, e.embedding FROM cells a JOIN embeddings e USING (vec_id)
-), pairs AS (
+)"""
+
+_IVF_TRAINED_TOPK_SQL = _IVF_TRAINED_CELLS_CTE + """,
+pairs AS (
   SELECT q.vec_id AS q_id, n.vec_id AS n_id,
          round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
                (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
                 sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 6) AS sim
   FROM vecs q JOIN vecs n ON q.c_id = n.c_id AND q.vec_id < 20 AND n.vec_id != q.vec_id
+)
+SELECT q_id, n_id, sim, rank FROM (
+  SELECT q_id, n_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 3"""
+
+_IVF_TRAINED_PROBE2_SQL = _IVF_TRAINED_CELLS_CTE + """,
+qprobes AS (
+  SELECT vec_id AS q_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_vec) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC,
+               c.c_id ASC) AS rn
+    FROM embeddings e JOIN tcents c ON TRUE
+    WHERE e.vec_id < 20
+  ) WHERE rn <= 2
+), pairs AS (
+  SELECT p.q_id, n.vec_id AS n_id,
+         round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))), 6) AS sim
+  FROM qprobes p
+  JOIN vecs n ON n.c_id = p.c_id AND n.vec_id != p.q_id
+  JOIN embeddings qe ON qe.vec_id = p.q_id
 )
 SELECT q_id, n_id, sim, rank FROM (
   SELECT q_id, n_id, sim,
@@ -1741,6 +1819,7 @@ SELECT vec_id, c_id,
        CAST((SELECT max(iter) FROM assign) AS INT) AS n_rounds
 FROM assign WHERE iter = (SELECT max(iter) FROM assign)""",
     "emb_ivf_trained_topk": _IVF_TRAINED_TOPK_SQL,
+    "emb_ivf_probe2_topk": _IVF_TRAINED_PROBE2_SQL,
     "emb_kmeans_step": """
 WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
 scored_c AS (
@@ -1922,6 +2001,12 @@ EXT_QUERIES: dict[str, Query] = {
         "k-means fixpoint centroids feeding the IVF cell-restricted "
         "top-k — the production ANN shape; oracle extends the "
         "recursive-CTE kmeans with trained means + cell search",
+    ),
+    "emb_ivf_probe2_topk": Query(
+        q_emb_ivf_probe2_topk, EXT_ORACLES["emb_ivf_probe2_topk"],
+        "MULTI-PROBE trained IVF (nprobe=2, the ANN recall knob): "
+        "2 nearest cells per query, disjoint candidates, corpus side "
+        "never reshuffled; built r5, r6 gate window (COVERAGE.md)",
     ),
     "cube_event_stats": Query(q_cube_event_stats, EXT_ORACLES["cube_event_stats"]),
     "tool_correlation_salted": Query(

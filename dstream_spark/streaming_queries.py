@@ -563,3 +563,32 @@ def stream_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sliced.unpersist()
     return d.read_dups(spark)
+
+
+def stream_cursor_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cursor-dedup operator WITH EventTimeTimeout TTL eviction
+    under the oracle: a time-ordered feed (split_by_time — disjoint
+    ascending ranges, so no legitimate row is ever behind the
+    watermark) with a crash-replayed batch 0. The replay arrives far
+    below the final watermark and is absorbed by the operator's
+    late-input filter — the exact contract that makes a TTL-evicted
+    cursor safe (make_cursor_fn) — while conversations whose cursors
+    were evicted mid-stream (ttl 30 min against a multi-day range)
+    still emit every remaining turn exactly once. Output == identity,
+    byte-equal to the NoTimeout form's oracle."""
+    from dstream_spark.operators.cdc import cursor_dedup_stream as _cds
+
+    feed = _scratch("cursor_ttl")
+    _write_feed(spark, sf_dir, feed, n_batches=4, replay_batch0=True, split_by_time=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = _cds(src, ttl_s=1800, wm_delay_s=600)
+    name = f"cursor_ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
