@@ -317,6 +317,47 @@ def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *textfn.lang_scores(), textfn.predicted_lang().alias("predicted_lang"))
 
 
+QUOTA_PER_LANG = 40  # target docs kept per language
+
+
+def q_docs_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota subsampling — the corpus-balancing op (cap
+    each language's contribution at ~QUOTA_PER_LANG docs).
+
+    Scale shape: NO per-group rank (a per-language row_number is a
+    hot-partition trap at 100 TB — a handful of languages, billions of
+    rows each, one task per language). Instead: one partial-aggregated
+    count per language, broadcast back, and a MAP-SIDE threshold on
+    the document's deterministic md5 bucket (0..255, the
+    docs_hash_split trick): keep docs whose bucket <
+    ceil(256 * quota / n_lang). Selection is identity-keyed and
+    deterministic (stable under replication/reruns); the quota is met
+    in expectation with binomial tolerance — the trade every
+    shuffle-free sampler makes."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    base = d.select("doc_id", textfn.predicted_lang().alias("lang"))
+    counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    h = F.md5(F.col("doc_id").cast("string"))
+
+    def nib(c):
+        return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+    bucket = (nib(F.substring(h, 1, 1)) * 16 + nib(F.substring(h, 2, 1))).cast("int")
+    thresh = F.least(
+        F.lit(256).cast("long"),
+        F.floor(
+            (F.lit(256 * QUOTA_PER_LANG) + F.col("n_lang") - 1) / F.col("n_lang")
+        ).cast("long"),
+    )
+    return (
+        base.join(F.broadcast(counts), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < thresh)
+        .select("doc_id", "lang", "n_lang", "bucket")
+    )
+
+
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalization fingerprint (md5 of the 8-token
     prefix): hash-groupBy dedup with a representative id per group."""
@@ -770,6 +811,16 @@ SELECT doc_id,
        {_LANG_SCORE_COLS},
        {_LANG_PRED} AS predicted_lang
 FROM documents""",
+    "docs_quota_sample": f"""
+WITH langs AS (
+  SELECT doc_id, {_LANG_PRED} AS lang,
+         (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+  FROM documents
+), counts AS (SELECT lang, count(*) AS n_lang FROM langs GROUP BY 1)
+SELECT l.doc_id, l.lang, CAST(c.n_lang AS BIGINT) AS n_lang, CAST(l.bucket AS INT) AS bucket
+FROM langs l JOIN counts c USING (lang)
+WHERE l.bucket < LEAST(256, CAST(FLOOR((256 * 40 + c.n_lang - 1) / c.n_lang) AS BIGINT))""",
     "docs_fingerprint": """
 SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
        count(*) AS n_docs, min(doc_id) AS keep_doc_id
@@ -1083,6 +1134,12 @@ QUERIES: dict[str, Query] = {
     "docs_token_stats": Query(q_docs_token_stats, ORACLES["docs_token_stats"]),
     "docs_quality": Query(q_docs_quality, ORACLES["docs_quality"]),
     "docs_langid": Query(q_docs_langid, ORACLES["docs_langid"]),
+    "docs_quota_sample": Query(
+        q_docs_quota_sample, ORACLES["docs_quota_sample"],
+        "per-language quota subsampling WITHOUT per-group rank: "
+        "broadcast language counts + map-side md5-bucket threshold "
+        "(no hot-language partition); built r5, r6 gate window",
+    ),
     "docs_langid_ngram": Query(q_docs_langid_ngram, ORACLES["docs_langid_ngram"]),
     "docs_rolling_hash": Query(q_docs_rolling_hash, ORACLES["docs_rolling_hash"]),
     "docs_fingerprint": Query(q_docs_fingerprint, ORACLES["docs_fingerprint"]),
