@@ -48,12 +48,41 @@ def document_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """(doc_id, band, band_hash, bucket) for every document with at
     least one shingle (short docs have no signature, as in the batch
     family). ``bucket`` is the hive partition key the index is laid
-    out under — functionally determined by band_hash."""
+    out under — functionally determined by band_hash. The value is
+    'b' + two hex chars, NOT the bare hex: Spark type-infers hive
+    partition values per directory tree, so an index whose dirs happen
+    to be all digit-hex ('07', '12') would read bucket back as INT
+    (07→7) — crashing the marker protocol's cross-root union against
+    string roots and silently breaking the isin() pruning after a
+    compact rewrote the dirs unpadded. A non-numeric prefix pins the
+    inferred type to string everywhere."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, 3).alias("sh")
     ).filter(F.size("sh") > 0)
     sig = sh.select("doc_id", *minhash_signature(F.col("sh")))
-    return lsh_bands(sig).withColumn("bucket", F.substring("band_hash", 1, 2))
+    return lsh_bands(sig).withColumn(
+        "bucket", F.concat(F.lit("b"), F.substring("band_hash", 1, 2))
+    )
+
+
+def slice_by_id(df: DataFrame, n_batches: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic id-ascending micro-batch slicing (the arrival
+    order the dup log's "earlier = smaller id" contract assumes):
+    adds a ``_slice`` column in [0, n_batches) by equal-width id
+    range. Only the two scalar id bounds touch the driver. Shared by
+    stream_inc_dedup, the corpus pipeline's streaming mode, and the
+    ingest bench."""
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        raise ValueError("empty input: nothing to slice")
+    span = max(1, int(hi) - int(lo) + 1)
+    return df.withColumn(
+        "_slice",
+        F.least(
+            F.lit(n_batches - 1),
+            ((F.col(id_col) - F.lit(int(lo))) * n_batches / span).cast("int"),
+        ),
+    )
 
 
 class IncrementalLshDedup:
@@ -118,6 +147,19 @@ class IncrementalLshDedup:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if (
+            int(batch_id) in self.dups.committed_batches()
+            and int(batch_id) in self.index.committed_batches()
+        ):
+            # fully committed epoch: the replay is a no-op WITHOUT
+            # launching any job (the touched-bucket aggregate below is
+            # eager; without this check a replay would recompute the
+            # whole shingle/minhash pass just to throw it away). A
+            # crash BETWEEN the two commits leaves only the dup log
+            # committed — that replay falls through and recomputes,
+            # which the per-sink markers then resolve deterministically
+            # (see module docstring).
+            return
         bands = document_bands(batch_df)
         bands.persist()
         try:

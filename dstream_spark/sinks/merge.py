@@ -295,6 +295,11 @@ class MergeSink:
         # directories are listed and scanned. The scale lever for
         # bucket-keyed indexes (incremental dedup): a micro-batch's
         # lookup reads the buckets it hashes into, not the full index.
+        # CONTRACT: values must not be type-inference-ambiguous — an
+        # all-numeric directory tree is inferred as INT per root (hex
+        # '07' reads back as 7), which breaks cross-root unions and
+        # zero-padded equality after a compact rewrite. Prefix a
+        # letter (incremental_dedup uses 'b' + hex).
         self.hive_partition_by = hive_partition_by
         self.protocol.init()
 

@@ -106,7 +106,12 @@ class Monitor:
           shutdown via stop_all).
 
         Returns per-table
-        {"retries": n, "ok": bool, "error": str | None[, "running"]}.
+        {"retries": n, "ok": True | False | None,
+         "error": str | None[, "running": True, "timed_out": True]}.
+        ``ok`` is TRI-STATE: True = drained/healthy, False = failed
+        (error set), None = still draining at an availableNow deadline
+        (running + timed_out set) — neither success nor failure, so
+        callers must not truthiness-test ok.
         """
         if run_for_s is not None:
             timeout_s = run_for_s

@@ -533,22 +533,12 @@ def stream_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled up per right-hand doc. Only the two scalar id bounds are
     read on the driver; slicing is JVM-side."""
     from dstream_spark.fixtures.transcripts import register_tables
-    from dstream_spark.operators.incremental_dedup import IncrementalLshDedup
+    from dstream_spark.operators.incremental_dedup import IncrementalLshDedup, slice_by_id
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents").select("doc_id", "text")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo is None:
-        raise ValueError(f"empty documents table under {sf_dir}")
     n_batches = 4
-    span = max(1, int(hi) - int(lo) + 1)
-    sliced = docs.withColumn(
-        "_slice",
-        F.least(
-            F.lit(n_batches - 1),
-            ((F.col("doc_id") - F.lit(int(lo))) * n_batches / span).cast("int"),
-        ),
-    ).persist()
+    sliced = slice_by_id(docs, n_batches).persist()
     d = IncrementalLshDedup(
         _scratch("incdedup_idx"), _scratch("incdedup_dups"), n_partitions=8
     )

@@ -104,22 +104,12 @@ def run_streaming(spark, sf_dir: str, out_dir: str, n_batches: int = 4) -> dict:
     dedup tables are exactly-once (commit markers), so a crash-replay
     of any ingest epoch cannot change the keep set."""
     from dstream_spark.fixtures.transcripts import register_tables
-    from dstream_spark.operators.incremental_dedup import IncrementalLshDedup
+    from dstream_spark.operators.incremental_dedup import IncrementalLshDedup, slice_by_id
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents").select("doc_id", "text")
     n_docs = docs.count()
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo is None:
-        raise ValueError(f"empty documents table under {sf_dir}")
-    span = max(1, int(hi) - int(lo) + 1)
-    sliced = docs.withColumn(
-        "_slice",
-        F.least(
-            F.lit(n_batches - 1),
-            ((F.col("doc_id") - F.lit(int(lo))) * n_batches / span).cast("int"),
-        ),
-    ).persist()
+    sliced = slice_by_id(docs, n_batches).persist()
     dd = IncrementalLshDedup(
         os.path.join(out_dir, "dedup_idx"), os.path.join(out_dir, "dedup_dups"),
         n_partitions=8,

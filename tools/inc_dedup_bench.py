@@ -36,7 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from dstream_spark.operators.incremental_dedup import IncrementalLshDedup  # noqa: E402
+from dstream_spark.operators.incremental_dedup import (  # noqa: E402
+    IncrementalLshDedup,
+    slice_by_id,
+)
 from dstream_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,17 +86,13 @@ def main() -> None:
     spark = get_spark(app_name="inc_dedup_bench", cores=args.cores,
                       shuffle_partitions=args.cores)
     scratch = tempfile.mkdtemp(prefix="incbench_")
+    sliced = None
     try:
         corpus_path = build_corpus(spark, args.docs, scratch)
         corpus = spark.read.parquet(corpus_path)
         n = corpus.count()
-        lo, hi = corpus.agg(F.min("doc_id"), F.max("doc_id")).first()
-        span = max(1, int(hi) - int(lo) + 1)
-        slice_col = F.least(
-            F.lit(args.batches - 1),
-            ((F.col("doc_id") - F.lit(int(lo))) * args.batches / span).cast("int"),
-        )
-        sliced = corpus.withColumn("_slice", slice_col).persist()
+        hi = corpus.agg(F.max("doc_id")).first()[0]
+        sliced = slice_by_id(corpus, args.batches).persist()
         sliced.count()
 
         d = IncrementalLshDedup(
@@ -152,7 +151,8 @@ def main() -> None:
             },
         }))
     finally:
-        sliced.unpersist()
+        if sliced is not None:
+            sliced.unpersist()
         shutil.rmtree(scratch, ignore_errors=True)
 
 
