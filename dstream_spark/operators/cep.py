@@ -306,6 +306,149 @@ def followed_by_stream(
     )
 
 
+NOT_FOLLOWED_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("first_turn", T.IntegerType()),
+    ]
+)
+
+
+def make_not_followed_by_fn(a: Step, b: Step, n_turns: int,
+                            span_s: int = PATTERN_SPAN_S,
+                            ttl_s: int = PATTERN_SPAN_S):
+    """NEGATION pattern (Flink CEP notFollowedBy / MATCH_RECOGNIZE
+    absence): emit each A-turn with NO qualifying B-turn within
+    ``n_turns`` turns and ``span_s`` seconds.
+
+    Absence over an append stream is only decidable once no qualifying
+    B can still arrive, so a pending A is emitted when either
+
+    - a later turn of the same conversation crosses a bound (turn
+      distance >= n_turns, or time gap > span_s) — event time is
+      non-decreasing in turn order (the changefeed's CDC order), so
+      every later turn is at least as far on both axes; or
+    - the event-time timeout fires: the watermark passed the
+      conversation's last turn + ttl_s >= span_s, so nothing the late
+      filter would still admit can match any pending A.
+
+    ``ttl_s >= span_s`` is required for exactly that reason. The
+    streaming oracle encodes the same two confirmation clauses — the
+    treatment the LEFT OUTER stream-stream join's null emission got.
+    State per conversation: cursor + unmatched pending A-turns,
+    self-pruning via confirmation — O(n_turns), and removed entirely
+    at the timeout flush.
+    """
+    if a.tool_equals_step is not None or b.tool_equals_step is not None:
+        raise ValueError("followed-by steps cannot use tool_equals_step")
+    if ttl_s < span_s:
+        raise ValueError(
+            "ttl_s must be >= span_s: a pending A is only confirmable "
+            "absent once no in-span B can arrive"
+        )
+
+    def nf_fn(key, pdfs, state):
+        import pandas as pd
+
+        conv_id = key[0]
+        if getattr(state, "hasTimedOut", False):
+            # watermark > last_turn + ttl_s >= every pending A + span_s:
+            # all pending A-turns are confirmed not-followed — flush
+            # them and drop the state (O(active convs) store)
+            meta = json.loads(state.get[0]) if state.exists else {"p": []}
+            state.remove()
+            if meta["p"]:
+                yield pd.DataFrame(
+                    [(conv_id, int(idx)) for idx, _ in meta["p"]],
+                    columns=["conv_id", "first_turn"],
+                )
+            return
+
+        cursor, pending = -1, []  # pending: [turn_idx, epoch_s]
+        if state.exists:
+            meta = json.loads(state.get[0])
+            cursor, pending = meta["c"], meta["p"]
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["turn_idx"] > cursor]
+        if not len(batch):
+            return
+        batch = batch.sort_values("turn_idx").drop_duplicates(
+            subset=["turn_idx"], keep="first"
+        )
+
+        out = []
+        last_idx, last_t = cursor, None
+        for role, tool, t_s, idx in zip(
+            batch["role"],
+            batch["tool"],
+            batch["ts"].astype("int64") // 10**9,
+            batch["turn_idx"].astype("int64"),
+        ):
+            tool = tool if isinstance(tool, str) else None
+            t_s, idx = int(t_s), int(idx)
+            # a B at exactly the turn bound still matches (<=), so
+            # match BEFORE confirming on the strict complement (>=)
+            if b.matches(role, tool):
+                pending = [
+                    p for p in pending
+                    if not (idx - p[0] <= n_turns and t_s - p[1] <= span_s)
+                ]
+            confirmed = [
+                p for p in pending if idx - p[0] >= n_turns or t_s - p[1] > span_s
+            ]
+            if confirmed:
+                out.extend((conv_id, int(p[0])) for p in confirmed)
+                pending = [
+                    p for p in pending
+                    if not (idx - p[0] >= n_turns or t_s - p[1] > span_s)
+                ]
+            if a.matches(role, tool):
+                pending.append([idx, t_s])
+            last_idx, last_t = idx, t_s
+
+        state.update((json.dumps({"c": int(last_idx), "p": pending}),))
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_t * 1000 + ttl_s * 1000, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out, columns=["conv_id", "first_turn"])
+
+    return nf_fn
+
+
+def not_followed_by_stream(
+    df: DataFrame,
+    a: Step,
+    b: Step,
+    n_turns: int,
+    span_s: int = PATTERN_SPAN_S,
+    ttl_s: int | None = None,
+    wm_delay_s: int = 1800,
+) -> DataFrame:
+    """Streaming 'A NOT followed by B within N turns / span_s seconds'
+    (see make_not_followed_by_fn). Unlike the positive patterns the
+    timeout is not optional — absence needs the watermark to close the
+    book on a conversation — so ttl_s defaults to span_s (its minimum)
+    and the operator always runs under EventTimeTimeout. Feed contract:
+    time-ordered (split_by_time) delivery, so the watermark late filter
+    never drops a legitimate turn and replays land below it."""
+    if ttl_s is None:
+        ttl_s = span_s
+    from dstream_spark.operators.event_time import to_instant
+
+    cols = df.select("conv_id", "turn_idx", "role", "tool", "ts")
+    evt = cols.withColumn("_evt", to_instant("ts")).withWatermark(
+        "_evt", f"{wm_delay_s} seconds"
+    )
+    return evt.groupBy("conv_id").applyInPandasWithState(
+        make_not_followed_by_fn(a, b, n_turns, span_s, ttl_s),
+        outputStructType=NOT_FOLLOWED_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def cep_pattern_stream(
     df: DataFrame,
     pattern: tuple[Step, ...] = USER_AGENT_TOOL,

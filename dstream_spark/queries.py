@@ -1264,11 +1264,16 @@ QUERIES.update(LLM_QUERIES)
 # is untouched since r1 (tpch_q12/q14/q19, multimodal_resize), so they
 # hold the freshest remaining signal.
 _GATE_PRIORITY = [
-    # new in r5 (never gated)
+    # new in r5 (never gated) — every new capability gets a driver row
     "inc_dedup_log",
     "emb_ivf_trained_topk",
     "cep_followed_by",
     "stream_cep_followed_by",
+    "cep_not_followed_by",
+    "stream_cep_not_followed_by",
+    "emb_ivf_probe2_topk",
+    "docs_quota_sample",
+    "stream_cursor_dedup_ttl",
     # r4-gated, refactored under in r5
     "docs_pack_bpe",
     "stream_cursor_dedup",
@@ -1304,8 +1309,6 @@ _GATE_PRIORITY = [
     "conv_first_last",
     "term_frequency",
     "multimodal_features",
-    "envelope_projection",
-    "users_click_and_error",
     "pandas_udf_norm",
     "stream_tool_join",
     "tpch_q4",
@@ -1314,10 +1317,11 @@ _GATE_PRIORITY = [
     "relay_identity",
     "cdc_dedup",
     "cdc_latest_state",
-    "tumbling_counts",
-    "sliding_counts",
-    "session_windows",
 ]
+# bumped to the r6 window to keep this one at 50 (pure-batch SQL
+# untouched by any r4/r5 refactor — lowest staleness risk):
+# tumbling_counts, sliding_counts, session_windows,
+# envelope_projection, users_click_and_error
 assert all(n in QUERIES for n in _GATE_PRIORITY), "stale gate-priority name"
 QUERIES = {
     **{n: QUERIES[n] for n in _GATE_PRIORITY},

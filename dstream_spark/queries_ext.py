@@ -814,6 +814,7 @@ def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lead("role", k).over(w).alias("r"),
                 F.lead("tool", k).over(w).alias("tl"),
                 F.lead(epoch, k).over(w).alias("t"),
+                F.lead("turn_idx", k).over(w).alias("i"),
             )
             for k in range(1, n + 1)
         ]
@@ -823,10 +824,16 @@ def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("role") == "user")
 
     def qualifies(s):
+        # the window bound is TURN-INDEX distance, matching the oracle
+        # and the streaming twin exactly — lead() row offsets alone
+        # would over-match if turn_idx ever had gaps (contiguous in
+        # the fixture by construction, but the three forms must agree
+        # on the semantics, not the data)
         return (
             (s.getField("r") == "tool")
             & s.getField("tl").isNotNull()
             & (s.getField("t") - F.col("t0") <= 64800)
+            & (s.getField("i") - F.col("turn_idx") <= n)
         )
 
     # try_element_at: the filtered array is empty when no B qualifies
@@ -865,6 +872,89 @@ def q_stream_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_turns=FOLLOWED_BY_N_TURNS,
     )
     name = f"cepfb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATION CEP (Flink CEP notFollowedBy / MATCH_RECOGNIZE
+    absence): user turns with NO tool invocation within
+    FOLLOWED_BY_N_TURNS turns and 18 h. Batch form inverts the
+    skip-till-next-match scan: the same lead-array window, emitting
+    rows whose qualifying-B array is EMPTY — conversation tails
+    included, because the batch scan sees the whole conversation. One
+    shuffle on conv_id, linear at 10^12 turns, no self-join."""
+    n = FOLLOWED_BY_N_TURNS
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    nxt = F.array(
+        *[
+            F.struct(
+                F.lead("role", k).over(w).alias("r"),
+                F.lead("tool", k).over(w).alias("tl"),
+                F.lead(epoch, k).over(w).alias("t"),
+                F.lead("turn_idx", k).over(w).alias("i"),
+            )
+            for k in range(1, n + 1)
+        ]
+    )
+    seq = t.select(
+        "conv_id", "turn_idx", "role", epoch.alias("t0"), nxt.alias("nxt")
+    ).filter(F.col("role") == "user")
+
+    def qualifies(s):
+        return (
+            (s.getField("r") == "tool")
+            & s.getField("tl").isNotNull()
+            & (s.getField("t") - F.col("t0") <= 64800)
+            & (s.getField("i") - F.col("turn_idx") <= n)
+        )
+
+    misses = seq.withColumn(
+        "hit", F.try_element_at(F.filter("nxt", qualifies), F.lit(1))
+    ).filter(F.col("hit").isNull())
+    return misses.select("conv_id", F.col("turn_idx").alias("first_turn"))
+
+
+def q_stream_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING absence (operators/cep.not_followed_by_stream) over a
+    TIME-ordered change feed with a replayed batch: an A-turn emits
+    when a later turn crosses the turn/time bound, or at the
+    event-time timeout flush once the watermark passes the
+    conversation's last turn + span_s. The oracle carries the
+    confirmability contract explicitly (final watermark = max event
+    time − delay): conversations ending within ~span_s of the stream's
+    end keep their tail A-turns unconfirmed — the honest append-mode
+    semantics, same treatment as the LEFT OUTER join's null rows. The
+    replayed batch lands below the final watermark and is absorbed by
+    the late filter, so it cannot re-emit flushed A-turns."""
+    import uuid
+
+    from dstream_spark.operators.cep import Step, not_followed_by_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("cepnfb")
+    _write_feed(
+        spark, sf_dir, feed, n_batches=4, split_by_time=True, replay_batch0=True
+    )
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = not_followed_by_stream(
+        src,
+        a=Step(role="user"),
+        b=Step(role="tool", tool_required=True),
+        n_turns=FOLLOWED_BY_N_TURNS,
+        wm_delay_s=600,
+    )
+    name = f"cepnfb_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.outputMode("append")
         .format("memory")
@@ -1734,6 +1824,54 @@ SELECT conv_id, first_turn, tool, span_s FROM (
   WHERE b.t1 - a.t0 <= 64800
 ) WHERE rn = 1"""
     ),
+    # negation (notFollowedBy): user turns with NO qualifying tool
+    # turn in the window — the batch twin sees whole conversations,
+    # so plain NOT EXISTS is the full semantics
+    "cep_not_followed_by": _t_sql(
+        """
+, a AS (
+  SELECT conv_id, turn_idx, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0
+  FROM transcripts WHERE role = 'user'
+)
+SELECT a.conv_id, a.turn_idx AS first_turn
+FROM a
+WHERE NOT EXISTS (
+  SELECT 1 FROM transcripts b
+  WHERE b.conv_id = a.conv_id AND b.role = 'tool' AND b.tool IS NOT NULL
+    AND b.turn_idx > a.turn_idx AND b.turn_idx <= a.turn_idx + 6
+    AND CAST(FLOOR(epoch(b.ts)) AS BIGINT) - a.t0 <= 64800)"""
+    ),
+    # streaming negation: same NOT EXISTS plus the append-mode
+    # CONFIRMABILITY contract — an absence emits iff a later turn of
+    # the conversation crossed the turn/time bound (in-data
+    # confirmation), or the final watermark (max event time − 600 s
+    # delay) passed the conversation's last turn + span_s (timeout
+    # flush, strict >). Same oracle treatment as the LEFT OUTER
+    # stream-stream join's null emission.
+    "stream_cep_not_followed_by": _t_sql(
+        """
+, a AS (
+  SELECT conv_id, turn_idx, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0
+  FROM transcripts WHERE role = 'user'
+)
+SELECT a.conv_id, a.turn_idx AS first_turn
+FROM a
+WHERE NOT EXISTS (
+  SELECT 1 FROM transcripts b
+  WHERE b.conv_id = a.conv_id AND b.role = 'tool' AND b.tool IS NOT NULL
+    AND b.turn_idx > a.turn_idx AND b.turn_idx <= a.turn_idx + 6
+    AND CAST(FLOOR(epoch(b.ts)) AS BIGINT) - a.t0 <= 64800)
+  AND (
+    EXISTS (
+      SELECT 1 FROM transcripts t2
+      WHERE t2.conv_id = a.conv_id AND t2.turn_idx > a.turn_idx
+        AND (t2.turn_idx - a.turn_idx >= 6
+             OR CAST(FLOOR(epoch(t2.ts)) AS BIGINT) - a.t0 > 64800))
+    OR (SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) - 600 FROM transcripts)
+       > (SELECT MAX(CAST(FLOOR(epoch(t3.ts)) AS BIGINT))
+          FROM transcripts t3 WHERE t3.conv_id = a.conv_id) + 64800
+  )"""
+    ),
     "cep_tool_retry_same": _t_sql(
         """
 , seq AS (
@@ -1960,6 +2098,18 @@ EXT_QUERIES: dict[str, Query] = {
         q_stream_cep_followed_by, EXT_ORACLES["cep_followed_by"],
         "streaming skip-till-next-match: pending unmatched A-turns "
         "(O(n_turns) state) bridge batch boundaries == batch twin",
+    ),
+    "cep_not_followed_by": Query(
+        q_cep_not_followed_by, EXT_ORACLES["cep_not_followed_by"],
+        "NEGATION pattern (notFollowedBy): user turns with no tool "
+        "call within 6 turns/18 h — the inverted lead-array scan",
+    ),
+    "stream_cep_not_followed_by": Query(
+        q_stream_cep_not_followed_by,
+        EXT_ORACLES["stream_cep_not_followed_by"],
+        "streaming absence: emits on bound-crossing turns or at the "
+        "event-time timeout flush; oracle encodes the watermark "
+        "confirmability contract",
     ),
     "stream_tool_left_join": Query(
         q_stream_tool_left_join, EXT_ORACLES["stream_tool_left_join"],

@@ -169,3 +169,106 @@ def test_cross_step_same_tool_constraint():
     assert len(out) == 1
     r = out.iloc[0]
     assert (r.first_turn, r.tool) == (2, "tool_2")
+
+
+class FakeTtlState(FakeState):
+    """FakeState + the EventTimeTimeout surface the negation body uses."""
+
+    def __init__(self, wm_ms=0):
+        super().__init__()
+        self.hasTimedOut = False
+        self.timeout_ms = None
+        self.removed = False
+        self._wm_ms = wm_ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+
+def _nf(n_turns=3, span_s=600, ttl_s=600):
+    from dstream_spark.operators.cep import Step, make_not_followed_by_fn
+
+    return make_not_followed_by_fn(
+        Step(role="user"), Step(role="tool", tool_required=True),
+        n_turns=n_turns, span_s=span_s, ttl_s=ttl_s,
+    )
+
+
+def test_not_followed_by_confirms_on_turn_bound():
+    """An unmatched A emits as soon as a later turn is >= n_turns away
+    (no later B can be in-window); an A that a B matched never emits."""
+    st = FakeTtlState()
+    out = _run(
+        st,
+        [
+            ("c1", 0, "user", None, _t(0)),     # matched by turn 1 -> silent
+            ("c1", 1, "tool", "search", _t(1)),
+            ("c1", 2, "user", None, _t(2)),     # no tool within 3 turns
+            ("c1", 3, "agent", None, _t(3)),
+            ("c1", 4, "agent", None, _t(4)),
+            ("c1", 5, "agent", None, _t(5)),    # turn 5 - 2 >= 3: confirm A@2
+        ],
+        fn=_nf(),
+    )
+    assert list(out.itertuples(index=False, name=None)) == [("c1", 2)]
+    # A@2 left pending; cursor advanced
+    meta = json.loads(st.get[0])
+    assert meta["c"] == 5 and meta["p"] == []
+
+
+def test_not_followed_by_confirms_on_time_bound():
+    """A later turn whose time gap exceeds span_s confirms the absence
+    even within the turn window (event time is monotone in turn order,
+    so no later turn can be back inside the span)."""
+    st = FakeTtlState()
+    out = _run(
+        st,
+        [
+            ("c1", 0, "user", None, _t(0)),
+            ("c1", 1, "agent", None, _t(20)),  # 1200 s > 600 s span
+            ("c1", 2, "tool", "search", _t(21)),  # too late: NOT a match
+        ],
+        fn=_nf(),
+    )
+    assert list(out.itertuples(index=False, name=None)) == [("c1", 0)]
+
+
+def test_not_followed_by_timeout_flushes_pending():
+    """hasTimedOut: every pending A is emitted (the watermark passed
+    last turn + ttl >= any pending A + span) and the state removed."""
+    st = FakeTtlState()
+    out = _run(st, [("c1", 0, "user", None, _t(0)), ("c1", 1, "user", None, _t(1))], fn=_nf())
+    assert out.empty and st.timeout_ms == int(_t(1).timestamp() * 1000) + 600_000
+    st.hasTimedOut = True
+    flushed = _run(st, [], fn=_nf())
+    assert list(flushed.itertuples(index=False, name=None)) == [("c1", 0), ("c1", 1)]
+    assert st.removed and not st.exists
+
+
+def test_not_followed_by_replay_rejected_by_cursor():
+    """A replayed slice below the cursor neither re-emits nor
+    resurrects pending state."""
+    st = FakeTtlState()
+    rows = [
+        ("c1", 0, "user", None, _t(0)),
+        ("c1", 1, "agent", None, _t(1)),
+        ("c1", 2, "agent", None, _t(2)),
+        ("c1", 3, "agent", None, _t(3)),  # confirms A@0 (n_turns=3)
+    ]
+    out1 = _run(st, rows, fn=_nf())
+    assert list(out1.itertuples(index=False, name=None)) == [("c1", 0)]
+    out2 = _run(st, rows, fn=_nf())  # full replay: all turns <= cursor
+    assert out2.empty
+
+
+def test_not_followed_by_requires_ttl_ge_span():
+    import pytest
+
+    with pytest.raises(ValueError, match="ttl_s must be >= span_s"):
+        _nf(ttl_s=10, span_s=600)

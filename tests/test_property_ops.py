@@ -245,3 +245,73 @@ def test_streaming_followed_by_equals_batch_scan(
                 (int(r.first_turn), r.tool, int(r.span_s)) for r in out.itertuples()
             )
     assert got == expected
+
+
+# --- 5. streaming negation (notFollowedBy) == batch NOT EXISTS ----------
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    turns=_turns,
+    a_role=st.sampled_from([None, "user", "agent"]),
+    b_spec=st.tuples(st.sampled_from([None, "tool", "agent"]), st.booleans()),
+    n_turns=st.integers(1, 5),
+    span_s=st.sampled_from([120, 10_000]),
+    cuts=st.lists(st.integers(1, 23), max_size=4),
+    replay=st.booleans(),
+)
+def test_streaming_not_followed_by_equals_batch_not_exists(
+    turns, a_role, b_spec, n_turns, span_s, cuts, replay
+):
+    """For ANY A/B predicates, bounds, micro-batch split, and optional
+    batch-0 replay, the streaming absence body (in-data confirmations
+    plus the final timeout flush) emits exactly the A-turns with NO
+    qualifying B within n_turns turns and span_s seconds — each
+    exactly once. The flush stands in for the watermark closing the
+    stream, so the model needs no confirmability clause here."""
+    import pandas as pd
+
+    from dstream_spark.operators.cep import Step, make_not_followed_by_fn
+
+    from tests.test_cep import FakeTtlState, _batch
+
+    a = Step(role=a_role)
+    b = Step(role=b_spec[0], tool_required=b_spec[1])
+
+    rows, t = [], 0
+    for i, (role, tool, gap_min) in enumerate(turns):
+        t += gap_min * 60
+        rows.append(("c1", i, role, tool, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)))
+
+    expected = set()
+    for i, (_, idx_a, role_a, tool_a, ts_a) in enumerate(rows):
+        if not a.matches(role_a, tool_a):
+            continue
+        followed = any(
+            b.matches(role_b, tool_b)
+            and int(ts_b.timestamp()) - int(ts_a.timestamp()) <= span_s
+            for _, idx_b, role_b, tool_b, ts_b in rows[i + 1 : i + 1 + n_turns]
+        )
+        if not followed:
+            expected.add(idx_a)
+
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    chunks, start = [], 0
+    for bd in bounds + [len(rows)]:
+        if bd > start:
+            chunks.append(rows[start:bd])
+            start = bd
+    if replay:
+        chunks.append(chunks[0])
+
+    fn = make_not_followed_by_fn(a, b, n_turns, span_s, ttl_s=span_s)
+    st_ = FakeTtlState()
+    got = []
+    for chunk in chunks:
+        for out in fn(("c1",), iter([_batch(chunk)]), st_) or ():
+            got.extend(int(r.first_turn) for r in out.itertuples())
+    st_.hasTimedOut = True  # the watermark closes the stream
+    for out in fn(("c1",), iter([]), st_) or ():
+        got.extend(int(r.first_turn) for r in out.itertuples())
+    assert len(got) == len(set(got)), f"duplicate emission: {sorted(got)}"
+    assert set(got) == expected

@@ -155,3 +155,39 @@ def test_followed_by_idle_conversation_state_evicted(spark, tmp_path):
     # window onward: none here, so output is empty but state bounded
     assert table.count() == 0
     assert _final_state_rows(q) == 1  # only B's state survives
+
+
+def test_not_followed_by_timeout_flush_emits_absences_exactly_once(spark, tmp_path):
+    """The NEGATION operator's timeout is load-bearing output, not
+    just eviction: conv A's unmatched user turn must EMIT when the
+    watermark (driven by conv B) passes A's last turn + ttl, the
+    flushed state must be gone, and a replay of A's turns arriving
+    after the flush must be absorbed by the late filter — not re-emit
+    the absence through the reset cursor."""
+    from dstream_spark.operators.cep import Step, not_followed_by_stream
+
+    feed = str(tmp_path / "nffeed")
+    batches = _feed_batches()
+    # adversarial tail: replay A's flushed user turn after eviction
+    batches.append(_rows([("A", 0, "user", None, 0)]))
+    _write_feed(spark, feed, batches)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = not_followed_by_stream(
+        src,
+        a=Step(role="user"),
+        b=Step(role="tool", tool_required=True),
+        n_turns=4,
+        span_s=600,
+        ttl_s=600,
+        wm_delay_s=60,
+    )
+    q, table = _run(out, spark, "nf_flush")
+    rows = sorted((r.conv_id, r.first_turn) for r in table.collect())
+    # A@0: no tool ever -> flushed at timeout, exactly once despite the
+    # replay. B@0: its only tool (t+61 min) is outside the 600 s span —
+    # confirmed in-data by B@1's bound-crossing gap. B@3 (t+120 min) is
+    # the honest TAIL case: the final watermark (max ts − 60 s) never
+    # passes it + ttl, so its absence is UNCONFIRMABLE and must NOT
+    # emit — the clause the streaming oracle encodes.
+    assert rows == [("A", 0), ("B", 0)]
+    assert _final_state_rows(q) == 1  # A flushed; B's tail state alive
