@@ -155,6 +155,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!CartesianProduct", "candidates only within the trained cell"),
         ("BroadcastHashJoin", "query side broadcast into the cell join"),
     ],
+    "cep_not_followed_by": [
+        ("Window", "inverted lead-array scan over (conv_id, turn_idx)"),
+        ("!SinglePartition", "window partitioned by conv_id — linear at 10^12 turns"),
+        ("!SortMergeJoin", "absence WITHOUT an anti-join: the N-turn lookahead is a lead() array"),
+        ("!CartesianProduct", "no unbounded pair blowup"),
+    ],
 }
 
 
