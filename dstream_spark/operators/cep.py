@@ -62,6 +62,9 @@ class Step:
     role: str | None = None
     tool_required: bool = False
     tool_equals_step: int | None = None
+    # greedy zero-or-one step (regex '?' / MATCH_RECOGNIZE B?):
+    # only make_optional_fn interprets this flag
+    optional: bool = False
 
     def matches(self, role, tool, window_tools=None) -> bool:
         if self.role is not None and role != self.role:
@@ -84,6 +87,11 @@ USER_AGENT_TOOL = (
     Step(role="agent"),
     Step(tool_required=True),
 )  # "agent acted on a user request with a tool"
+USER_OPT_AGENT_TOOL = (
+    Step(role="user"),
+    Step(role="agent", optional=True),
+    Step(tool_required=True),
+)  # "user -> (agent)? -> tool call": greedy zero-or-one middle step
 TOOL_AGENT_TOOL = (
     Step(role="tool", tool_required=True),
     Step(role="agent"),
@@ -190,6 +198,179 @@ def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S,
 # backward-compatible name: the default-pattern body (unit tests drive
 # it directly with a fake state)
 _cep_fn = make_cep_fn(USER_AGENT_TOOL)
+
+
+def make_optional_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S,
+                     ttl_s: int = PATTERN_SPAN_S):
+    """OPTIONAL-step pattern (regex ``A B? C`` / MATCH_RECOGNIZE's
+    zero-or-one quantifier), GREEDY: for each start turn, prefer the
+    LONG form (all k steps over k consecutive turns); fall back to the
+    SHORT form (the k-1 non-optional steps over k-1 consecutive turns)
+    only when the long window fails. Exactly one ``Step.optional``
+    must be set; both forms share the span_s first→last time bound.
+
+    Greediness makes a short match non-final until the NEXT turn is
+    seen — the long window ending one turn later shares its start and
+    would supersede it — so a short candidate is DEFERRED one turn:
+
+    - the next turn arrives → emit the long match if that window
+      matches, else emit the deferred short (in-data resolution);
+    - no next turn ever arrives → the event-time timeout flush emits
+      the deferred short once the watermark passes the conversation's
+      last turn + ttl_s. ``ttl_s >= span_s`` is required for exactly
+      the reason the negation body states it: any turn admitted after
+      the flush is > span_s past the window start, so the long window
+      it would complete is span-dead and the short decision was final
+      — the flush provably equals the batch twin's null-lead
+      semantics.
+
+    State per conversation: cursor + last k-1 turns + at most ONE
+    deferred candidate (each row resolves the previous row's deferral
+    before creating its own) — still O(k), flush-evicted."""
+    k = len(pattern)
+    opt_at = [i for i, s in enumerate(pattern) if s.optional]
+    if len(opt_at) != 1:
+        raise ValueError("optional patterns need exactly one Step.optional")
+    if any(s.tool_equals_step is not None for s in pattern):
+        # cross-step capture indexes into a fixed window; with an
+        # optional step the indices shift between the two forms
+        raise ValueError("optional patterns cannot use tool_equals_step")
+    if k < 3:
+        raise ValueError("an optional pattern needs at least 3 steps")
+    if ttl_s < span_s:
+        raise ValueError(
+            "ttl_s must be >= span_s: the flush finalizes a deferred "
+            "short match only once no in-span upgrade turn can arrive"
+        )
+    short = tuple(s for i, s in enumerate(pattern) if i != opt_at[0])
+    cols = [f.name for f in CEP_OUT_SCHEMA.fields]
+
+    def opt_fn(key, pdfs, state):
+        import pandas as pd
+
+        conv_id = key[0]
+        if getattr(state, "hasTimedOut", False):
+            # watermark > last turn + ttl_s: the deferred short (if
+            # any) is final — no admissible turn can upgrade it — and
+            # the pending window is span-dead. Emit, then evict.
+            meta = json.loads(state.get[0]) if state.exists else {"d": None}
+            state.remove()
+            d = meta.get("d")
+            if d:
+                yield pd.DataFrame(
+                    [(conv_id, int(d[0]), d[1], int(d[2]))], columns=cols
+                )
+            return
+
+        cursor, pending, deferred = -1, [], None
+        if state.exists:
+            meta = json.loads(state.get[0])
+            cursor, pending, deferred = meta["c"], meta["p"], meta.get("d")
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["turn_idx"] > cursor]  # cursor: reject replays
+        if not len(batch):
+            return
+        batch = batch.sort_values("turn_idx").drop_duplicates(
+            subset=["turn_idx"], keep="first"
+        )
+
+        rows = list(pending) + [
+            [r, (tl if isinstance(tl, str) else None), int(t), int(i)]
+            for r, tl, t, i in zip(
+                batch["role"],
+                batch["tool"],
+                batch["ts"].astype("int64") // 10**9,
+                batch["turn_idx"].astype("int64"),
+            )
+        ]
+        out = []
+        for e in range(len(pending), len(rows)):
+            # 1. the long window ending at e (start e-k+1 — the SAME
+            #    start as any deferral set at row e-1)
+            long_hit = None
+            if e >= k - 1:
+                win = rows[e - k + 1 : e + 1]
+                if (
+                    all(s.matches(w[0], w[1]) for s, w in zip(pattern, win))
+                    and win[-1][2] - win[0][2] <= span_s
+                ):
+                    long_hit = (
+                        conv_id,
+                        int(win[0][3]),
+                        win[-1][1],
+                        int(win[-1][2] - win[0][2]),
+                    )
+            # 2. greedy resolution: long supersedes the deferred short
+            if deferred is not None:
+                out.append(
+                    long_hit
+                    if long_hit
+                    else (conv_id, int(deferred[0]), deferred[1], int(deferred[2]))
+                )
+                deferred = None
+            elif long_hit:
+                out.append(long_hit)
+            # 3. new short candidate ending at e — deferred one turn
+            if e >= k - 2:
+                swin = rows[e - k + 2 : e + 1]
+                if (
+                    all(s.matches(w[0], w[1]) for s, w in zip(short, swin))
+                    and swin[-1][2] - swin[0][2] <= span_s
+                ):
+                    deferred = [
+                        int(swin[0][3]),
+                        swin[-1][1],
+                        int(swin[-1][2] - swin[0][2]),
+                    ]
+
+        state.update(
+            (
+                json.dumps(
+                    {"c": int(rows[-1][3]), "p": rows[-(k - 1):], "d": deferred}
+                ),
+            )
+        )
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(int(rows[-1][2]) * 1000 + ttl_s * 1000, wm_ms + 1)
+        )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return opt_fn
+
+
+def cep_optional_stream(
+    df: DataFrame,
+    pattern: tuple[Step, ...] = USER_OPT_AGENT_TOOL,
+    span_s: int = PATTERN_SPAN_S,
+    ttl_s: int | None = None,
+    wm_delay_s: int = 1800,
+) -> DataFrame:
+    """Streaming greedy optional-step pattern (see make_optional_fn).
+    Like the negation operator — and unlike the all-required patterns
+    — the timeout is NOT optional: a deferred short match at a
+    conversation's tail is only decidable once the watermark closes
+    the book, so ttl_s defaults to span_s (its minimum) and the
+    operator always runs under EventTimeTimeout. Feed contract:
+    time-ordered delivery (split_by_time), so replays land below the
+    watermark and are absorbed by the late filter."""
+    if ttl_s is None:
+        ttl_s = span_s
+    from dstream_spark.operators.event_time import to_instant
+
+    cols = df.select("conv_id", "turn_idx", "role", "tool", "ts")
+    evt = cols.withColumn("_evt", to_instant("ts")).withWatermark(
+        "_evt", f"{wm_delay_s} seconds"
+    )
+    return evt.groupBy("conv_id").applyInPandasWithState(
+        make_optional_fn(pattern, span_s, ttl_s),
+        outputStructType=CEP_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 def make_followed_by_fn(a: Step, b: Step, n_turns: int,

@@ -1267,6 +1267,8 @@ _GATE_PRIORITY = [
     # new in r5 (never gated) — every new capability gets a driver row
     "inc_dedup_log",
     "emb_ivf_trained_topk",
+    "cep_optional_step",
+    "stream_cep_optional",
     "cep_followed_by",
     "stream_cep_followed_by",
     "cep_not_followed_by",
@@ -1315,13 +1317,14 @@ _GATE_PRIORITY = [
     "tpch_q10",
     "emb_near_dup_pairs",
     "relay_identity",
-    "cdc_dedup",
-    "cdc_latest_state",
 ]
 # bumped to the r6 window to keep this one at 50 (pure-batch SQL
 # untouched by any r4/r5 refactor — lowest staleness risk):
 # tumbling_counts, sliding_counts, session_windows,
-# envelope_projection, users_click_and_error
+# envelope_projection, users_click_and_error, cdc_dedup,
+# cdc_latest_state (the last two displaced by the optional-step pair;
+# their apply_changes core is also covered by stream_cdc_deletes and
+# the property fold test)
 assert all(n in QUERIES for n in _GATE_PRIORITY), "stale gate-priority name"
 QUERIES = {
     **{n: QUERIES[n] for n in _GATE_PRIORITY},

@@ -966,6 +966,88 @@ def q_stream_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cep_optional_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL-STEP CEP (regex ``A B? C`` / MATCH_RECOGNIZE's
+    zero-or-one quantifier), GREEDY: user → optional agent turn → tool
+    call over consecutive turns within 18 h. Per starting user turn,
+    emit the 3-turn form if it matches (user, agent, any-role tool
+    call), else the 2-turn form (user, any-role tool call) — never
+    both. Batch form stays ONE lead()-window scan: both windows come
+    from the same two leads and a CASE picks greedily — one shuffle on
+    conv_id, linear at 10^12 turns, same shape as the required-step
+    patterns."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    seq = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        epoch.alias("t0"),
+        F.lead("role", 1).over(w).alias("role1"),
+        F.lead("tool", 1).over(w).alias("tool1"),
+        F.lead(epoch, 1).over(w).alias("t1"),
+        F.lead("tool", 2).over(w).alias("tool2"),
+        F.lead(epoch, 2).over(w).alias("t2"),
+    )
+    long_m = (
+        (F.col("role") == "user")
+        & (F.col("role1") == "agent")
+        & F.col("tool2").isNotNull()
+        & (F.col("t2") - F.col("t0") <= 64800)
+    )
+    short_m = (
+        (F.col("role") == "user")
+        & F.col("tool1").isNotNull()
+        & (F.col("t1") - F.col("t0") <= 64800)
+    )
+    return seq.filter(long_m | short_m).select(
+        "conv_id",
+        F.col("turn_idx").alias("first_turn"),
+        F.when(long_m, F.col("tool2")).otherwise(F.col("tool1")).alias("tool"),
+        F.when(long_m, F.col("t2") - F.col("t0"))
+        .otherwise(F.col("t1") - F.col("t0"))
+        .alias("span_s"),
+    )
+
+
+def q_stream_cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING greedy optional-step pattern (operators/cep.
+    cep_optional_stream) over a TIME-ordered change feed with a
+    replayed batch. Greediness defers each short match ONE turn (the
+    long window ending a turn later shares its start); the deferral
+    resolves in-data when the next turn arrives, or at the event-time
+    timeout flush once the watermark passes the conversation's last
+    turn + span_s. The oracle carries that confirmability contract
+    (same treatment as stream_cep_not_followed_by): a SHORT match at a
+    conversation's final turn emits only if the final watermark closed
+    the conversation; long matches and in-data-resolved shorts are
+    unconditional. The replayed batch lands below the final watermark
+    and is absorbed by the late filter."""
+    import uuid
+
+    from dstream_spark.operators.cep import cep_optional_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("cepopt")
+    _write_feed(
+        spark, sf_dir, feed, n_batches=4, split_by_time=True, replay_batch0=True
+    )
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = cep_optional_stream(src, wm_delay_s=600)
+    name = f"cepopt_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 NEAR_DUP_MAX_ROWS = 100_000  # O(n²) verifier refuses full corpora
 
 
@@ -1890,6 +1972,69 @@ WHERE role = 'tool' AND tool IS NOT NULL AND role1 = 'agent'
   AND role2 = 'tool' AND tool2 IS NOT NULL AND tool2 = tool
   AND t2 - t0 <= 64800"""
     ),
+    # greedy optional step (A B? C): per start turn, the 3-turn form
+    # if it matches, else the 2-turn form — decided by one CASE over
+    # the same two leads the engine's window scan uses
+    "cep_optional_step": _t_sql(
+        """
+, seq AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0,
+         lead(role, 1) OVER w AS role1,
+         lead(tool, 1) OVER w AS tool1,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER w AS t1,
+         lead(tool, 2) OVER w AS tool2,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), g AS (
+  SELECT conv_id, turn_idx, tool1, tool2, t1 - t0 AS s1, t2 - t0 AS s2,
+         (role = 'user' AND role1 = 'agent' AND tool2 IS NOT NULL
+          AND t2 - t0 <= 64800) AS long_m,
+         (role = 'user' AND tool1 IS NOT NULL AND t1 - t0 <= 64800) AS short_m
+  FROM seq
+)
+SELECT conv_id, turn_idx AS first_turn,
+       CASE WHEN long_m THEN tool2 ELSE tool1 END AS tool,
+       CASE WHEN long_m THEN s2 ELSE s1 END AS span_s
+FROM g WHERE long_m OR short_m"""
+    ),
+    # streaming greedy optional step: the batch greedy result plus the
+    # append-mode CONFIRMABILITY contract for deferred shorts — a
+    # short match resolves in-data when the next turn exists (t2 of
+    # its start row is non-null), otherwise only at the timeout flush
+    # once the final watermark (max event time − 600 s delay) passed
+    # the conversation's last turn + span_s (strict >). Long matches
+    # fire on arrival and need no clause.
+    "stream_cep_optional": _t_sql(
+        """
+, seq AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0,
+         lead(role, 1) OVER w AS role1,
+         lead(tool, 1) OVER w AS tool1,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER w AS t1,
+         lead(tool, 2) OVER w AS tool2,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), g AS (
+  SELECT conv_id, turn_idx, tool1, tool2, t1 - t0 AS s1, t2 - t0 AS s2, t2,
+         (role = 'user' AND role1 = 'agent' AND tool2 IS NOT NULL
+          AND t2 - t0 <= 64800) AS long_m,
+         (role = 'user' AND tool1 IS NOT NULL AND t1 - t0 <= 64800) AS short_m
+  FROM seq
+)
+SELECT conv_id, turn_idx AS first_turn,
+       CASE WHEN long_m THEN tool2 ELSE tool1 END AS tool,
+       CASE WHEN long_m THEN s2 ELSE s1 END AS span_s
+FROM g
+WHERE (long_m OR short_m)
+  AND (long_m OR t2 IS NOT NULL
+       OR (SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) - 600 FROM transcripts)
+          > (SELECT MAX(CAST(FLOOR(epoch(t3.ts)) AS BIGINT))
+             FROM transcripts t3 WHERE t3.conv_id = g.conv_id) + 64800)"""
+    ),
     "tpch_q12": """
 SELECT l_linestatus,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -2098,6 +2243,18 @@ EXT_QUERIES: dict[str, Query] = {
         q_stream_cep_followed_by, EXT_ORACLES["cep_followed_by"],
         "streaming skip-till-next-match: pending unmatched A-turns "
         "(O(n_turns) state) bridge batch boundaries == batch twin",
+    ),
+    "cep_optional_step": Query(
+        q_cep_optional_step, EXT_ORACLES["cep_optional_step"],
+        "GREEDY optional step (user -> agent? -> tool, regex '?'): "
+        "long form preferred per start turn, one CASE over the same "
+        "lead()-window scan — still a single linear pass",
+    ),
+    "stream_cep_optional": Query(
+        q_stream_cep_optional, EXT_ORACLES["stream_cep_optional"],
+        "streaming greedy optional step: short matches deferred one "
+        "turn, resolved in-data or at the timeout flush; oracle "
+        "encodes the watermark confirmability contract",
     ),
     "cep_not_followed_by": Query(
         q_cep_not_followed_by, EXT_ORACLES["cep_not_followed_by"],

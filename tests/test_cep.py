@@ -272,3 +272,88 @@ def test_not_followed_by_requires_ttl_ge_span():
 
     with pytest.raises(ValueError, match="ttl_s must be >= span_s"):
         _nf(ttl_s=10, span_s=600)
+
+
+# --- optional step (greedy A B? C) ---------------------------------------
+
+
+def _opt(span_s=64800, ttl_s=None):
+    from dstream_spark.operators.cep import USER_OPT_AGENT_TOOL, make_optional_fn
+
+    return make_optional_fn(USER_OPT_AGENT_TOOL, span_s, ttl_s or span_s)
+
+
+def test_optional_short_deferred_then_upgraded_across_batches():
+    """user + tool-call arrive in batch 1 (a valid SHORT match), but
+    the agent... no — the upgrade turn (making user→agent→tool the
+    LONG match) can only share the short's START, so here: user,
+    agent-with-tool in batch 1 defers a short; the tool turn in batch
+    2 completes the long window and supersedes it — one LONG match,
+    zero shorts."""
+    st = FakeTtlState()
+    out1 = _run(
+        st,
+        [("c1", 0, "user", None, _t(0)), ("c1", 1, "agent", "search", _t(1))],
+        fn=_opt(),
+    )
+    assert out1.empty  # short (user, agent-with-tool) deferred, not emitted
+    out2 = _run(st, [("c1", 2, "tool", "web", _t(2))], fn=_opt())
+    assert list(out2.itertuples(index=False, name=None)) == [("c1", 0, "web", 120)]
+
+
+def test_optional_short_emitted_when_long_fails_in_data():
+    """user, tool-call, then a non-matching third turn: the long
+    window fails on arrival of turn 2, so the deferred short stands."""
+    st = FakeTtlState()
+    out = _run(
+        st,
+        [
+            ("c1", 0, "user", None, _t(0)),
+            ("c1", 1, "tool", "search", _t(1)),
+            ("c1", 2, "user", None, _t(2)),
+        ],
+        fn=_opt(),
+    )
+    assert list(out.itertuples(index=False, name=None)) == [("c1", 0, "search", 60)]
+
+
+def test_optional_tail_short_emitted_at_timeout_flush_and_state_removed():
+    """A short match ending at the conversation's last turn stays
+    deferred until the watermark closes the conversation; the flush
+    emits it once and evicts the state."""
+    st = FakeTtlState()
+    out = _run(
+        st, [("c1", 0, "user", None, _t(0)), ("c1", 1, "tool", "search", _t(1))],
+        fn=_opt(),
+    )
+    assert out.empty
+    st.hasTimedOut = True
+    flushed = _run(st, [], fn=_opt())
+    assert list(flushed.itertuples(index=False, name=None)) == [("c1", 0, "search", 60)]
+    assert st.removed and not st.exists
+    # a second timeout (or replay) emits nothing
+    st.hasTimedOut = True
+    assert _run(st, [], fn=_opt()).empty
+
+
+def test_optional_validation():
+    import pytest
+
+    from dstream_spark.operators.cep import Step, make_optional_fn
+
+    with pytest.raises(ValueError, match="exactly one"):
+        make_optional_fn((Step(role="user"), Step(), Step(tool_required=True)))
+    with pytest.raises(ValueError, match="tool_equals_step"):
+        make_optional_fn(
+            (
+                Step(role="tool", tool_required=True),
+                Step(optional=True),
+                Step(tool_required=True, tool_equals_step=0),
+            )
+        )
+    with pytest.raises(ValueError, match="ttl_s must be >= span_s"):
+        make_optional_fn(
+            (Step(role="user"), Step(optional=True), Step(tool_required=True)),
+            span_s=600,
+            ttl_s=10,
+        )

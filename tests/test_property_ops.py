@@ -315,3 +315,96 @@ def test_streaming_not_followed_by_equals_batch_not_exists(
         got.extend(int(r.first_turn) for r in out.itertuples())
     assert len(got) == len(set(got)), f"duplicate emission: {sorted(got)}"
     assert set(got) == expected
+
+
+# --- 6. streaming optional step (greedy A B? C) == batch greedy scan ----
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    turns=_turns,
+    steps=st.lists(
+        st.tuples(st.sampled_from([None, "user", "agent", "tool"]), st.booleans()),
+        min_size=3,
+        max_size=4,
+    ),
+    opt_at=st.integers(0, 3),
+    span_s=st.sampled_from([120, 10_000]),
+    cuts=st.lists(st.integers(1, 23), max_size=4),
+    replay=st.booleans(),
+)
+def test_streaming_optional_step_equals_batch_greedy_scan(
+    turns, steps, opt_at, span_s, cuts, replay
+):
+    """For ANY pattern with one optional step (any position), ANY
+    micro-batch split, and an optional batch-0 replay, the streaming
+    deferred-resolution body (in-data next-turn resolution plus the
+    final timeout flush) emits exactly the batch GREEDY semantics:
+    per start turn, the full-length window if it matches, else the
+    window with the optional step elided — never both, each exactly
+    once."""
+    import pandas as pd
+
+    from dstream_spark.operators.cep import Step, make_optional_fn
+
+    from tests.test_cep import FakeTtlState, _batch
+
+    opt_at = opt_at % len(steps)
+    pattern = tuple(
+        Step(role=r, tool_required=tr, optional=(i == opt_at))
+        for i, (r, tr) in enumerate(steps)
+    )
+    short = tuple(s for i, s in enumerate(pattern) if i != opt_at)
+    k = len(pattern)
+
+    rows, t = [], 0
+    for i, (role, tool, gap_min) in enumerate(turns):
+        t += gap_min * 60
+        rows.append(("c1", i, role, tool, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)))
+
+    # batch greedy model: per start index, long first, else short
+    expected = set()
+    for i in range(len(rows)):
+        win = rows[i : i + k]
+        swin = rows[i : i + k - 1]
+        ts_l = [int(w[4].timestamp()) for w in win]
+        ts_s = [int(w[4].timestamp()) for w in swin]
+        long_ok = (
+            len(win) == k
+            and all(s.matches(w[2], w[3]) for s, w in zip(pattern, win))
+            and ts_l[-1] - ts_l[0] <= span_s
+        )
+        short_ok = (
+            len(swin) == k - 1
+            and all(s.matches(w[2], w[3]) for s, w in zip(short, swin))
+            and ts_s[-1] - ts_s[0] <= span_s
+        )
+        if long_ok:
+            expected.add((i, win[-1][3], ts_l[-1] - ts_l[0]))
+        elif short_ok:
+            expected.add((i, swin[-1][3], ts_s[-1] - ts_s[0]))
+
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    chunks, start = [], 0
+    for bd in bounds + [len(rows)]:
+        if bd > start:
+            chunks.append(rows[start:bd])
+            start = bd
+    if replay:
+        chunks.append(chunks[0])
+
+    fn = make_optional_fn(pattern, span_s, ttl_s=span_s)
+    st_ = FakeTtlState()
+    got = []
+    for chunk in chunks:
+        for out in fn(("c1",), iter([_batch(chunk)]), st_) or ():
+            got.extend(
+                (int(r.first_turn), r.tool, int(r.span_s)) for r in out.itertuples()
+            )
+    st_.hasTimedOut = True  # the watermark closes the stream
+    for out in fn(("c1",), iter([]), st_) or ():
+        got.extend(
+            (int(r.first_turn), r.tool, int(r.span_s)) for r in out.itertuples()
+        )
+    assert len(got) == len(set(got)), f"duplicate emission: {sorted(got)}"
+    assert set(got) == expected
