@@ -495,6 +495,155 @@ NOT_FOLLOWED_OUT_SCHEMA = T.StructType(
 )
 
 
+ONE_OR_MORE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("first_turn", T.IntegerType()),
+        T.StructField("n_reps", T.IntegerType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("span_s", T.LongType()),
+    ]
+)
+
+
+def make_one_or_more_fn(a: Step, b: Step, c: Step,
+                        span_s: int = PATTERN_SPAN_S,
+                        ttl_s: int | None = None):
+    """KLEENE-PLUS pattern (regex ``A B+ C`` / MATCH_RECOGNIZE's
+    one-or-more quantifier), POSSESSIVE: an A-turn opens a candidate,
+    every consecutive B-matching turn extends its run (B consumes
+    first — no backtracking), and the FIRST non-B turn closes the run:
+    it either completes the match (it satisfies C, the run is
+    non-empty, and first→last is within span_s) or kills the
+    candidate. The run is UNBOUNDED — no max-repeat cap — yet state is
+    O(1) per conversation: the candidate (start turn, start time, run
+    length) plus the cursor.
+
+    Possessive == declarative-greedy only when no turn can match both
+    A and B (otherwise an A inside another candidate's run would need
+    a second candidate slot), and the batch lag-over-non-B-turns twin
+    relies on "non-B" being a pure role complement — so the factory
+    REQUIRES a.role and b.role set and distinct, and b role-only.
+
+    Unlike the optional/negation forms, emission never depends on a
+    timeout: a match completes on the arrival of its C-turn, and a
+    candidate at the stream's tail (run never closed) matches the
+    batch twin's behavior — no C row, no match. ``ttl_s`` is therefore
+    pure state HYGIENE (EventTimeTimeout eviction of idle
+    conversations, exact for ttl_s >= span_s: any later admissible
+    C-turn would exceed span_s anyway); the flush emits nothing."""
+    if b.role is None or b.tool_required or b.tool_equals_step is not None:
+        raise ValueError("the repeated step must be role-only (b.role set, "
+                         "no tool constraints)")
+    if a.role is None or a.role == b.role:
+        raise ValueError("a.role must be set and distinct from b.role "
+                         "(possessive == greedy only for disjoint A/B)")
+    if c.tool_equals_step is not None:
+        raise ValueError("one-or-more steps cannot use tool_equals_step")
+    if ttl_s is not None and ttl_s < span_s:
+        raise ValueError("ttl_s must be >= span_s: eviction is exact only "
+                         "once no in-span C-turn can arrive")
+    cols = [f.name for f in ONE_OR_MORE_OUT_SCHEMA.fields]
+
+    def oom_fn(key, pdfs, state):
+        import pandas as pd
+
+        if getattr(state, "hasTimedOut", False):
+            # pure eviction — a candidate here can never complete
+            # in-span (see docstring); nothing to emit
+            state.remove()
+            return
+
+        conv_id = key[0]
+        cursor, cand = -1, None  # cand: [a_idx, a_ts, run_len]
+        if state.exists:
+            meta = json.loads(state.get[0])
+            cursor, cand = meta["c"], meta.get("a")
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["turn_idx"] > cursor]  # cursor: reject replays
+        if not len(batch):
+            return
+        batch = batch.sort_values("turn_idx").drop_duplicates(
+            subset=["turn_idx"], keep="first"
+        )
+
+        out = []
+        last_idx, last_t = cursor, None
+        for role, tool, t_s, idx in zip(
+            batch["role"],
+            batch["tool"],
+            batch["ts"].astype("int64") // 10**9,
+            batch["turn_idx"].astype("int64"),
+        ):
+            tool = tool if isinstance(tool, str) else None
+            t_s, idx = int(t_s), int(idx)
+            if cand is not None and b.matches(role, tool):
+                cand[2] += 1  # possessive: B consumes first
+            else:
+                if (
+                    cand is not None
+                    and cand[2] >= 1
+                    and c.matches(role, tool)
+                    and t_s - cand[1] <= span_s
+                ):
+                    out.append(
+                        (conv_id, int(cand[0]), int(cand[2]), tool,
+                         int(t_s - cand[1]))
+                    )
+                # the run closed (matched or not) — candidate is spent
+                cand = [idx, t_s, 0] if a.matches(role, tool) else None
+            last_idx, last_t = idx, t_s
+
+        state.update((json.dumps({"c": int(last_idx), "a": cand}),))
+        if ttl_s is not None:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last_t * 1000 + ttl_s * 1000, wm_ms + 1)
+            )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return oom_fn
+
+
+def one_or_more_stream(
+    df: DataFrame,
+    a: Step,
+    b: Step,
+    c: Step,
+    span_s: int = PATTERN_SPAN_S,
+    ttl_s: int | None = None,
+    wm_delay_s: int = 1800,
+) -> DataFrame:
+    """Streaming possessive 'A B+ C' (see make_one_or_more_fn); same
+    exactly-once/cross-batch contract as cep_pattern_stream. Without
+    ttl_s the operator needs no watermark at all (emission is purely
+    in-data); with it, idle conversations are EventTimeTimeout-evicted
+    exactly like the other pattern forms."""
+    cols = df.select("conv_id", "turn_idx", "role", "tool", "ts")
+    if ttl_s is None:
+        return cols.groupBy("conv_id").applyInPandasWithState(
+            make_one_or_more_fn(a, b, c, span_s),
+            outputStructType=ONE_OR_MORE_OUT_SCHEMA,
+            stateStructType=CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    from dstream_spark.operators.event_time import to_instant
+
+    evt = cols.withColumn("_evt", to_instant("ts")).withWatermark(
+        "_evt", f"{wm_delay_s} seconds"
+    )
+    return evt.groupBy("conv_id").applyInPandasWithState(
+        make_one_or_more_fn(a, b, c, span_s, ttl_s),
+        outputStructType=ONE_OR_MORE_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def make_not_followed_by_fn(a: Step, b: Step, n_turns: int,
                             span_s: int = PATTERN_SPAN_S,
                             ttl_s: int = PATTERN_SPAN_S):

@@ -1269,6 +1269,8 @@ _GATE_PRIORITY = [
     "emb_ivf_trained_topk",
     "cep_optional_step",
     "stream_cep_optional",
+    "cep_one_or_more",
+    "stream_cep_one_or_more",
     "cep_followed_by",
     "stream_cep_followed_by",
     "cep_not_followed_by",
@@ -1315,16 +1317,17 @@ _GATE_PRIORITY = [
     "stream_tool_join",
     "tpch_q4",
     "tpch_q10",
-    "emb_near_dup_pairs",
-    "relay_identity",
 ]
 # bumped to the r6 window to keep this one at 50 (pure-batch SQL
 # untouched by any r4/r5 refactor — lowest staleness risk):
 # tumbling_counts, sliding_counts, session_windows,
 # envelope_projection, users_click_and_error, cdc_dedup,
-# cdc_latest_state (the last two displaced by the optional-step pair;
-# their apply_changes core is also covered by stream_cdc_deletes and
-# the property fold test)
+# cdc_latest_state (displaced by the optional-step pair; the
+# apply_changes core stays covered by stream_cdc_deletes and the
+# property fold test), emb_near_dup_pairs, relay_identity (displaced
+# by the Kleene-plus pair; identity stays covered in-window by
+# stream_exactly_once/stream_cursor_dedup — same oracle SQL — and
+# the near-dup verifier is r3-gated green with unchanged code)
 assert all(n in QUERIES for n in _GATE_PRIORITY), "stale gate-priority name"
 QUERIES = {
     **{n: QUERIES[n] for n in _GATE_PRIORITY},

@@ -966,6 +966,92 @@ def q_stream_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLEENE-PLUS CEP (regex ``A B+ C`` / MATCH_RECOGNIZE one-or-
+    more): user → one-or-more consecutive agent turns → a tool call,
+    whole sequence within 18 h, run length UNBOUNDED (no max-repeat
+    cap). Batch form: a running count of agent turns plus one lag()
+    over the NON-agent turns — consecutive non-agent rows bracket each
+    agent run, so the pair (previous non-agent turn, this turn) plus
+    the count delta IS the match candidate. Two window functions over
+    the same (conv_id, turn_idx) ordering = ONE shuffle, no self-join,
+    no bounded lead-array — linear at 10^12 turns even for
+    arbitrarily long runs."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    cum = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        epoch.alias("t0"),
+        F.sum(F.when(F.col("role") == "agent", 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cb"),
+    )
+    nb = cum.filter(F.col("role") != "agent")
+    seq = nb.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "t0",
+        "cb",
+        F.lag("role").over(w).alias("u_role"),
+        F.lag("turn_idx").over(w).alias("u_idx"),
+        F.lag("t0").over(w).alias("u_t"),
+        F.lag("cb").over(w).alias("u_cb"),
+    )
+    return seq.filter(
+        (F.col("u_role") == "user")
+        & (F.col("cb") - F.col("u_cb") >= 1)
+        & F.col("tool").isNotNull()
+        & (F.col("t0") - F.col("u_t") <= 64800)
+    ).select(
+        "conv_id",
+        F.col("u_idx").alias("first_turn"),
+        (F.col("cb") - F.col("u_cb")).cast("int").alias("n_reps"),
+        "tool",
+        (F.col("t0") - F.col("u_t")).alias("span_s"),
+    )
+
+
+def q_stream_cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING possessive 'A B+ C' (operators/cep.one_or_more_stream)
+    over a turn-ordered change feed with a replayed batch: the
+    candidate (start turn, run length) bridges micro-batch boundaries
+    with O(1) state per conversation, replays are cursor-rejected, and
+    — unlike the optional/negation forms — emission never waits on a
+    timeout (a match completes on its C-turn's arrival; a run left
+    open at the stream's tail has no C row in the batch twin either),
+    so the oracle is the batch scan with NO confirmability clause."""
+    import uuid
+
+    from dstream_spark.operators.cep import Step, one_or_more_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("cepoom")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_turn=True, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = one_or_more_stream(
+        src,
+        a=Step(role="user"),
+        b=Step(role="agent"),
+        c=Step(tool_required=True),
+    )
+    name = f"cepoom_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_cep_optional_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIONAL-STEP CEP (regex ``A B? C`` / MATCH_RECOGNIZE's
     zero-or-one quantifier), GREEDY: user → optional agent turn → tool
@@ -1972,6 +2058,35 @@ WHERE role = 'tool' AND tool IS NOT NULL AND role1 = 'agent'
   AND role2 = 'tool' AND tool2 IS NOT NULL AND tool2 = tool
   AND t2 - t0 <= 64800"""
     ),
+    # Kleene plus (A B+ C): consecutive NON-agent turns bracket each
+    # agent run, so lag() over the non-agent rows + a running agent
+    # count yields (start turn, run length, closing turn) without any
+    # join or repeat cap — the oracle mirrors the engine's scan shape
+    # because the semantics (unbounded runs) admit no lead-array form
+    "cep_one_or_more": _t_sql(
+        """
+, s AS (
+  SELECT conv_id, turn_idx, role, tool,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0,
+         SUM(CASE WHEN role = 'agent' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS cb
+  FROM transcripts
+), nb AS (
+  SELECT conv_id, turn_idx, tool, t0, cb,
+         lag(role) OVER w AS u_role,
+         lag(turn_idx) OVER w AS u_idx,
+         lag(t0) OVER w AS u_t,
+         lag(cb) OVER w AS u_cb
+  FROM s WHERE role <> 'agent'
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, u_idx AS first_turn, CAST(cb - u_cb AS INT) AS n_reps,
+       tool, t0 - u_t AS span_s
+FROM nb
+WHERE u_role = 'user' AND cb - u_cb >= 1 AND tool IS NOT NULL
+  AND t0 - u_t <= 64800"""
+    ),
     # greedy optional step (A B? C): per start turn, the 3-turn form
     # if it matches, else the 2-turn form — decided by one CASE over
     # the same two leads the engine's window scan uses
@@ -2243,6 +2358,18 @@ EXT_QUERIES: dict[str, Query] = {
         q_stream_cep_followed_by, EXT_ORACLES["cep_followed_by"],
         "streaming skip-till-next-match: pending unmatched A-turns "
         "(O(n_turns) state) bridge batch boundaries == batch twin",
+    ),
+    "cep_one_or_more": Query(
+        q_cep_one_or_more, EXT_ORACLES["cep_one_or_more"],
+        "KLEENE PLUS (user -> agent+ -> tool, regex '+'): UNBOUNDED "
+        "run length via running-count + lag over non-agent turns — "
+        "one shuffle, no self-join, no repeat cap",
+    ),
+    "stream_cep_one_or_more": Query(
+        q_stream_cep_one_or_more, EXT_ORACLES["cep_one_or_more"],
+        "streaming possessive A B+ C: O(1) candidate state per "
+        "conversation, emission purely in-data (no timeout "
+        "dependence) == the batch running-count scan",
     ),
     "cep_optional_step": Query(
         q_cep_optional_step, EXT_ORACLES["cep_optional_step"],

@@ -357,3 +357,105 @@ def test_optional_validation():
             span_s=600,
             ttl_s=10,
         )
+
+
+# --- one-or-more (possessive A B+ C) -------------------------------------
+
+
+def _oom(span_s=64800, ttl_s=None):
+    from dstream_spark.operators.cep import Step, make_one_or_more_fn
+
+    return make_one_or_more_fn(
+        Step(role="user"), Step(role="agent"), Step(tool_required=True),
+        span_s, ttl_s,
+    )
+
+
+def test_one_or_more_unbounded_run_across_batches():
+    """A 5-agent run split across two micro-batches still matches,
+    with the run length counted across the boundary — O(1) state."""
+    st = FakeTtlState()
+    out1 = _run(
+        st,
+        [
+            ("c1", 0, "user", None, _t(0)),
+            ("c1", 1, "agent", None, _t(1)),
+            ("c1", 2, "agent", None, _t(2)),
+        ],
+        fn=_oom(),
+    )
+    assert out1.empty
+    out2 = _run(
+        st,
+        [
+            ("c1", 3, "agent", None, _t(3)),
+            ("c1", 4, "agent", None, _t(4)),
+            ("c1", 5, "agent", None, _t(5)),
+            ("c1", 6, "tool", "search", _t(6)),
+        ],
+        fn=_oom(),
+    )
+    assert list(out2.itertuples(index=False, name=None)) == [
+        ("c1", 0, 5, "search", 360)
+    ]
+
+
+def test_one_or_more_requires_at_least_one_repeat():
+    """user directly followed by a tool call (zero agent turns) does
+    NOT match A B+ C."""
+    st = FakeTtlState()
+    out = _run(
+        st,
+        [("c1", 0, "user", None, _t(0)), ("c1", 1, "tool", "search", _t(1))],
+        fn=_oom(),
+    )
+    assert out.empty
+
+
+def test_one_or_more_non_matching_closer_kills_candidate():
+    """The first non-agent turn closes the run; if it fails C the
+    candidate dies and is NOT revived by a later tool turn."""
+    st = FakeTtlState()
+    out = _run(
+        st,
+        [
+            ("c1", 0, "user", None, _t(0)),
+            ("c1", 1, "agent", None, _t(1)),
+            ("c1", 2, "user", None, _t(2)),       # closes run, fails C
+            ("c1", 3, "tool", "search", _t(3)),   # too late for turn 0
+        ],
+        fn=_oom(),
+    )
+    # ...but turn 2 itself opened a NEW candidate, which turn 3 cannot
+    # complete (zero agent turns between) — so nothing at all
+    assert out.empty
+
+
+def test_one_or_more_replay_and_ttl_flush_emit_nothing():
+    st = FakeTtlState()
+    rows = [
+        ("c1", 0, "user", None, _t(0)),
+        ("c1", 1, "agent", None, _t(1)),
+        ("c1", 2, "tool", "search", _t(2)),
+    ]
+    out = _run(st, rows, fn=_oom(ttl_s=64800))
+    assert len(out) == 1
+    assert _run(st, rows, fn=_oom(ttl_s=64800)).empty  # cursor rejects replay
+    st.hasTimedOut = True
+    assert _run(st, [], fn=_oom(ttl_s=64800)).empty    # flush = eviction only
+    assert st.removed and not st.exists
+
+
+def test_one_or_more_validation():
+    import pytest
+
+    from dstream_spark.operators.cep import Step, make_one_or_more_fn
+
+    with pytest.raises(ValueError, match="role-only"):
+        make_one_or_more_fn(Step(role="user"), Step(tool_required=True), Step())
+    with pytest.raises(ValueError, match="distinct"):
+        make_one_or_more_fn(Step(role="agent"), Step(role="agent"), Step())
+    with pytest.raises(ValueError, match="ttl_s must be >= span_s"):
+        make_one_or_more_fn(
+            Step(role="user"), Step(role="agent"), Step(), span_s=600, ttl_s=10
+        )

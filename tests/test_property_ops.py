@@ -408,3 +408,76 @@ def test_streaming_optional_step_equals_batch_greedy_scan(
         )
     assert len(got) == len(set(got)), f"duplicate emission: {sorted(got)}"
     assert set(got) == expected
+
+
+# --- 7. streaming one-or-more (possessive A B+ C) == batch lag scan -----
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    turns=_turns,
+    a_spec=st.tuples(st.sampled_from(["user", "tool"]), st.booleans()),
+    c_spec=st.tuples(st.sampled_from([None, "user", "tool"]), st.booleans()),
+    span_s=st.sampled_from([120, 10_000]),
+    cuts=st.lists(st.integers(1, 23), max_size=4),
+    replay=st.booleans(),
+)
+def test_streaming_one_or_more_equals_batch_lag_scan(
+    turns, a_spec, c_spec, span_s, cuts, replay
+):
+    """For ANY A/C predicates (B fixed to the role-only 'agent' step
+    the factory requires disjoint from A), span bound, micro-batch
+    split, and optional batch-0 replay, the streaming possessive-run
+    body emits exactly the batch semantics: consecutive non-B turns
+    bracket each run; a pair (u, c) matches iff u satisfies A, the
+    bracketed run is non-empty, c satisfies C, and the span bound
+    holds — each match exactly once, run length exact."""
+    import pandas as pd
+
+    from dstream_spark.operators.cep import Step, make_one_or_more_fn
+
+    from tests.test_cep import FakeTtlState, _batch
+
+    a = Step(role=a_spec[0], tool_required=a_spec[1])
+    b = Step(role="agent")
+    c = Step(role=c_spec[0], tool_required=c_spec[1])
+
+    rows, t = [], 0
+    for i, (role, tool, gap_min) in enumerate(turns):
+        t += gap_min * 60
+        rows.append(("c1", i, role, tool, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)))
+
+    # batch model: lag over non-B turns + run-length delta
+    nb = [r for r in rows if not b.matches(r[2], r[3])]
+    expected = set()
+    for prev, cur in zip(nb, nb[1:]):
+        n_reps = cur[1] - prev[1] - 1  # turn_idx contiguous by construction
+        gap = int(cur[4].timestamp()) - int(prev[4].timestamp())
+        if (
+            a.matches(prev[2], prev[3])
+            and n_reps >= 1
+            and c.matches(cur[2], cur[3])
+            and gap <= span_s
+        ):
+            expected.add((prev[1], n_reps, cur[3], gap))
+
+    bounds = sorted({ct for ct in cuts if ct < len(rows)})
+    chunks, start = [], 0
+    for bd in bounds + [len(rows)]:
+        if bd > start:
+            chunks.append(rows[start:bd])
+            start = bd
+    if replay:
+        chunks.append(chunks[0])
+
+    fn = make_one_or_more_fn(a, b, c, span_s)
+    st_ = FakeTtlState()
+    got = []
+    for chunk in chunks:
+        for out in fn(("c1",), iter([_batch(chunk)]), st_) or ():
+            got.extend(
+                (int(r.first_turn), int(r.n_reps), r.tool, int(r.span_s))
+                for r in out.itertuples()
+            )
+    assert len(got) == len(set(got)), f"duplicate emission: {sorted(got)}"
+    assert set(got) == expected

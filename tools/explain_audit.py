@@ -161,6 +161,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!SortMergeJoin", "absence WITHOUT an anti-join: the N-turn lookahead is a lead() array"),
         ("!CartesianProduct", "no unbounded pair blowup"),
     ],
+    "cep_one_or_more": [
+        ("Window", "running-count + lag scan over (conv_id, turn_idx)"),
+        ("!SinglePartition", "both windows partitioned by conv_id — linear at 10^12 turns"),
+        ("!SortMergeJoin", "UNBOUNDED Kleene runs WITHOUT a self-join: run length is a count delta between consecutive non-B turns"),
+        ("!CartesianProduct", "no pair blowup for arbitrarily long runs"),
+    ],
 }
 
 
