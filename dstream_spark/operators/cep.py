@@ -508,7 +508,8 @@ ONE_OR_MORE_OUT_SCHEMA = T.StructType(
 
 def make_one_or_more_fn(a: Step, b: Step, c: Step,
                         span_s: int = PATTERN_SPAN_S,
-                        ttl_s: int | None = None):
+                        ttl_s: int | None = None,
+                        min_reps: int = 1):
     """KLEENE-PLUS pattern (regex ``A B+ C`` / MATCH_RECOGNIZE's
     one-or-more quantifier), POSSESSIVE: an A-turn opens a candidate,
     every consecutive B-matching turn extends its run (B consumes
@@ -518,6 +519,14 @@ def make_one_or_more_fn(a: Step, b: Step, c: Step,
     candidate. The run is UNBOUNDED — no max-repeat cap — yet state is
     O(1) per conversation: the candidate (start turn, start time, run
     length) plus the cursor.
+
+    ``min_reps=0`` turns the plus into KLEENE-STAR (``A B* C``, the
+    zero-or-more quantifier): the ONLY semantic change is that an
+    empty run may complete — an A-turn directly followed by a C-turn
+    matches with n_reps = 0. The state machine, the possessive
+    consumption rule, and the batch lag-over-non-B-turns twin are
+    otherwise identical (the twin's run-length predicate relaxes from
+    ``>= 1`` to ``>= 0``).
 
     Possessive == declarative-greedy only when no turn can match both
     A and B (otherwise an A inside another candidate's run would need
@@ -540,6 +549,8 @@ def make_one_or_more_fn(a: Step, b: Step, c: Step,
                          "(possessive == greedy only for disjoint A/B)")
     if c.tool_equals_step is not None:
         raise ValueError("one-or-more steps cannot use tool_equals_step")
+    if min_reps not in (0, 1):
+        raise ValueError("min_reps must be 0 (Kleene star) or 1 (plus)")
     if ttl_s is not None and ttl_s < span_s:
         raise ValueError("ttl_s must be >= span_s: eviction is exact only "
                          "once no in-span C-turn can arrive")
@@ -583,7 +594,7 @@ def make_one_or_more_fn(a: Step, b: Step, c: Step,
             else:
                 if (
                     cand is not None
-                    and cand[2] >= 1
+                    and cand[2] >= min_reps
                     and c.matches(role, tool)
                     and t_s - cand[1] <= span_s
                 ):
@@ -615,16 +626,18 @@ def one_or_more_stream(
     span_s: int = PATTERN_SPAN_S,
     ttl_s: int | None = None,
     wm_delay_s: int = 1800,
+    min_reps: int = 1,
 ) -> DataFrame:
     """Streaming possessive 'A B+ C' (see make_one_or_more_fn); same
     exactly-once/cross-batch contract as cep_pattern_stream. Without
     ttl_s the operator needs no watermark at all (emission is purely
     in-data); with it, idle conversations are EventTimeTimeout-evicted
-    exactly like the other pattern forms."""
+    exactly like the other pattern forms. ``min_reps=0`` is the
+    Kleene-star form (prefer the zero_or_more_stream alias)."""
     cols = df.select("conv_id", "turn_idx", "role", "tool", "ts")
     if ttl_s is None:
         return cols.groupBy("conv_id").applyInPandasWithState(
-            make_one_or_more_fn(a, b, c, span_s),
+            make_one_or_more_fn(a, b, c, span_s, min_reps=min_reps),
             outputStructType=ONE_OR_MORE_OUT_SCHEMA,
             stateStructType=CEP_STATE_SCHEMA,
             outputMode="append",
@@ -636,11 +649,30 @@ def one_or_more_stream(
         "_evt", f"{wm_delay_s} seconds"
     )
     return evt.groupBy("conv_id").applyInPandasWithState(
-        make_one_or_more_fn(a, b, c, span_s, ttl_s),
+        make_one_or_more_fn(a, b, c, span_s, ttl_s, min_reps=min_reps),
         outputStructType=ONE_OR_MORE_OUT_SCHEMA,
         stateStructType=CEP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def zero_or_more_stream(
+    df: DataFrame,
+    a: Step,
+    b: Step,
+    c: Step,
+    span_s: int = PATTERN_SPAN_S,
+    ttl_s: int | None = None,
+    wm_delay_s: int = 1800,
+) -> DataFrame:
+    """Streaming possessive 'A B* C' (Kleene STAR / MATCH_RECOGNIZE's
+    zero-or-more quantifier): one_or_more_stream with an empty run
+    admitted — an A-turn directly followed by an in-span C-turn
+    matches with n_reps = 0. Same O(1) candidate state, exactly-once
+    cursor, and purely-in-data emission."""
+    return one_or_more_stream(
+        df, a, b, c, span_s, ttl_s, wm_delay_s, min_reps=0
     )
 
 

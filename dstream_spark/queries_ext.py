@@ -1052,6 +1052,87 @@ def q_stream_cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cep_zero_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLEENE-STAR CEP (regex ``A B* C`` / MATCH_RECOGNIZE zero-or-
+    more): user → ZERO or more consecutive agent turns → a tool call
+    within 18 h. Identical scan shape to q_cep_one_or_more (running
+    agent count + one lag() over the non-agent turns = one shuffle,
+    no self-join, no repeat cap); the only change is the run-length
+    predicate relaxing to >= 0, which admits the adjacent
+    user→tool pair as an empty run (n_reps = 0)."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    cum = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        epoch.alias("t0"),
+        F.sum(F.when(F.col("role") == "agent", 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cb"),
+    )
+    nb = cum.filter(F.col("role") != "agent")
+    seq = nb.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "t0",
+        "cb",
+        F.lag("role").over(w).alias("u_role"),
+        F.lag("turn_idx").over(w).alias("u_idx"),
+        F.lag("t0").over(w).alias("u_t"),
+        F.lag("cb").over(w).alias("u_cb"),
+    )
+    return seq.filter(
+        (F.col("u_role") == "user")
+        & (F.col("cb") - F.col("u_cb") >= 0)
+        & F.col("tool").isNotNull()
+        & (F.col("t0") - F.col("u_t") <= 64800)
+    ).select(
+        "conv_id",
+        F.col("u_idx").alias("first_turn"),
+        (F.col("cb") - F.col("u_cb")).cast("int").alias("n_reps"),
+        "tool",
+        (F.col("t0") - F.col("u_t")).alias("span_s"),
+    )
+
+
+def q_stream_cep_zero_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING possessive 'A B* C' (operators/cep.zero_or_more_stream):
+    the one_or_more state machine with the empty run admitted —
+    n_reps = 0 matches complete on an adjacent C-turn. Same O(1)
+    candidate state, cursor exactly-once across a replayed batch,
+    purely-in-data emission (no timeout dependence), so the oracle is
+    the batch star scan with NO confirmability clause."""
+    import uuid
+
+    from dstream_spark.operators.cep import Step, zero_or_more_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("cepzom")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_turn=True, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = zero_or_more_stream(
+        src,
+        a=Step(role="user"),
+        b=Step(role="agent"),
+        c=Step(tool_required=True),
+    )
+    name = f"cepzom_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_cep_optional_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIONAL-STEP CEP (regex ``A B? C`` / MATCH_RECOGNIZE's
     zero-or-one quantifier), GREEDY: user → optional agent turn → tool
@@ -2087,6 +2168,33 @@ FROM nb
 WHERE u_role = 'user' AND cb - u_cb >= 1 AND tool IS NOT NULL
   AND t0 - u_t <= 64800"""
     ),
+    # Kleene star (A B* C): the plus oracle with the run-length
+    # predicate relaxed to >= 0 — adjacent non-agent rows (empty run)
+    # become admissible matches with n_reps = 0
+    "cep_zero_or_more": _t_sql(
+        """
+, s AS (
+  SELECT conv_id, turn_idx, role, tool,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0,
+         SUM(CASE WHEN role = 'agent' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS cb
+  FROM transcripts
+), nb AS (
+  SELECT conv_id, turn_idx, tool, t0, cb,
+         lag(role) OVER w AS u_role,
+         lag(turn_idx) OVER w AS u_idx,
+         lag(t0) OVER w AS u_t,
+         lag(cb) OVER w AS u_cb
+  FROM s WHERE role <> 'agent'
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, u_idx AS first_turn, CAST(cb - u_cb AS INT) AS n_reps,
+       tool, t0 - u_t AS span_s
+FROM nb
+WHERE u_role = 'user' AND cb - u_cb >= 0 AND tool IS NOT NULL
+  AND t0 - u_t <= 64800"""
+    ),
     # greedy optional step (A B? C): per start turn, the 3-turn form
     # if it matches, else the 2-turn form — decided by one CASE over
     # the same two leads the engine's window scan uses
@@ -2370,6 +2478,18 @@ EXT_QUERIES: dict[str, Query] = {
         "streaming possessive A B+ C: O(1) candidate state per "
         "conversation, emission purely in-data (no timeout "
         "dependence) == the batch running-count scan",
+    ),
+    "cep_zero_or_more": Query(
+        q_cep_zero_or_more, EXT_ORACLES["cep_zero_or_more"],
+        "KLEENE STAR (user -> agent* -> tool, regex '*'): the plus "
+        "scan with empty runs admitted (n_reps = 0) — same one-"
+        "shuffle running-count + lag form, no repeat cap",
+    ),
+    "stream_cep_zero_or_more": Query(
+        q_stream_cep_zero_or_more, EXT_ORACLES["cep_zero_or_more"],
+        "streaming possessive A B* C: the one_or_more state machine "
+        "with min_reps=0, emission purely in-data == the batch star "
+        "scan",
     ),
     "cep_optional_step": Query(
         q_cep_optional_step, EXT_ORACLES["cep_optional_step"],

@@ -459,3 +459,95 @@ def test_one_or_more_validation():
         make_one_or_more_fn(
             Step(role="user"), Step(role="agent"), Step(), span_s=600, ttl_s=10
         )
+    with pytest.raises(ValueError, match="min_reps"):
+        make_one_or_more_fn(
+            Step(role="user"), Step(role="agent"), Step(), min_reps=2
+        )
+
+
+# --- zero-or-more (possessive A B* C, Kleene star) -----------------------
+
+
+def _zom(span_s=64800, ttl_s=None):
+    from dstream_spark.operators.cep import Step, make_one_or_more_fn
+
+    return make_one_or_more_fn(
+        Step(role="user"), Step(role="agent"), Step(tool_required=True),
+        span_s, ttl_s, min_reps=0,
+    )
+
+
+def test_zero_or_more_admits_empty_run():
+    """user directly followed by a tool call matches A B* C with
+    n_reps = 0 — the exact case the plus form rejects."""
+    st = FakeTtlState()
+    out = _run(
+        st,
+        [("c1", 0, "user", None, _t(0)), ("c1", 1, "tool", "search", _t(1))],
+        fn=_zom(),
+    )
+    assert list(out.itertuples(index=False, name=None)) == [
+        ("c1", 0, 0, "search", 60)
+    ]
+
+
+def test_zero_or_more_nonempty_run_equals_plus():
+    """With a non-empty run, star and plus agree — same candidate
+    machinery, run counted across a batch boundary."""
+    st = FakeTtlState()
+    out1 = _run(
+        st,
+        [
+            ("c1", 0, "user", None, _t(0)),
+            ("c1", 1, "agent", None, _t(1)),
+        ],
+        fn=_zom(),
+    )
+    assert out1.empty
+    out2 = _run(
+        st,
+        [
+            ("c1", 2, "agent", None, _t(2)),
+            ("c1", 3, "tool", "search", _t(3)),
+        ],
+        fn=_zom(),
+    )
+    assert list(out2.itertuples(index=False, name=None)) == [
+        ("c1", 0, 2, "search", 180)
+    ]
+
+
+def test_zero_or_more_closing_turn_reopens_candidate():
+    """A C-turn that completes an empty run cannot itself reopen (tool
+    role fails A), but a user turn that closes a run unmatched DOES
+    open a fresh candidate that a later tool turn completes."""
+    st = FakeTtlState()
+    out = _run(
+        st,
+        [
+            ("c1", 0, "user", None, _t(0)),
+            ("c1", 1, "agent", None, _t(1)),
+            ("c1", 2, "user", None, _t(2)),      # closes run 1 (fails C), reopens
+            ("c1", 3, "tool", "search", _t(3)),  # completes the turn-2 candidate
+        ],
+        fn=_zom(),
+    )
+    # turn 2 closed turn 0's candidate without matching C (no tool);
+    # the turn-2 candidate completes at turn 3 with an empty run
+    assert list(out.itertuples(index=False, name=None)) == [
+        ("c1", 2, 0, "search", 60)
+    ]
+
+
+def test_zero_or_more_replay_and_ttl_flush_emit_nothing():
+    st = FakeTtlState()
+    rows = [
+        ("c1", 0, "user", None, _t(0)),
+        ("c1", 1, "tool", "search", _t(1)),
+    ]
+    out = _run(st, rows, fn=_zom(ttl_s=64800))
+    assert len(out) == 1
+    assert _run(st, rows, fn=_zom(ttl_s=64800)).empty  # cursor rejects replay
+    st.hasTimedOut = True
+    assert _run(st, [], fn=_zom(ttl_s=64800)).empty    # flush = eviction only
+    assert st.removed and not st.exists

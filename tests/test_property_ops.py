@@ -410,7 +410,8 @@ def test_streaming_optional_step_equals_batch_greedy_scan(
     assert set(got) == expected
 
 
-# --- 7. streaming one-or-more (possessive A B+ C) == batch lag scan -----
+# --- 7. streaming one-or-more / zero-or-more (possessive A B+/B* C)
+#        == batch lag scan --------------------------------------------
 
 
 @settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
@@ -421,17 +422,19 @@ def test_streaming_optional_step_equals_batch_greedy_scan(
     span_s=st.sampled_from([120, 10_000]),
     cuts=st.lists(st.integers(1, 23), max_size=4),
     replay=st.booleans(),
+    min_reps=st.sampled_from([0, 1]),
 )
 def test_streaming_one_or_more_equals_batch_lag_scan(
-    turns, a_spec, c_spec, span_s, cuts, replay
+    turns, a_spec, c_spec, span_s, cuts, replay, min_reps
 ):
     """For ANY A/C predicates (B fixed to the role-only 'agent' step
     the factory requires disjoint from A), span bound, micro-batch
     split, and optional batch-0 replay, the streaming possessive-run
     body emits exactly the batch semantics: consecutive non-B turns
     bracket each run; a pair (u, c) matches iff u satisfies A, the
-    bracketed run is non-empty, c satisfies C, and the span bound
-    holds — each match exactly once, run length exact."""
+    bracketed run is non-empty (plus) or any length incl. empty
+    (star, min_reps=0), c satisfies C, and the span bound holds —
+    each match exactly once, run length exact."""
     import pandas as pd
 
     from dstream_spark.operators.cep import Step, make_one_or_more_fn
@@ -455,7 +458,7 @@ def test_streaming_one_or_more_equals_batch_lag_scan(
         gap = int(cur[4].timestamp()) - int(prev[4].timestamp())
         if (
             a.matches(prev[2], prev[3])
-            and n_reps >= 1
+            and n_reps >= min_reps
             and c.matches(cur[2], cur[3])
             and gap <= span_s
         ):
@@ -470,7 +473,7 @@ def test_streaming_one_or_more_equals_batch_lag_scan(
     if replay:
         chunks.append(chunks[0])
 
-    fn = make_one_or_more_fn(a, b, c, span_s)
+    fn = make_one_or_more_fn(a, b, c, span_s, min_reps=min_reps)
     st_ = FakeTtlState()
     got = []
     for chunk in chunks:
