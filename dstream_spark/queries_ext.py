@@ -470,6 +470,53 @@ def q_stream_tool_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_tool_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join: every agent-turn/tool
+    pairing within ±10 min, PLUS a null row per agent turn PROVEN
+    unmatched (watermark passed ts + upper) AND a null row per tool
+    invocation PROVEN unanswered (watermark passed ts_r + lower) —
+    'agent answered unaided' and 'tool fired with no agent turn
+    nearby' in ONE bounded-state pass. The oracle encodes BOTH sides'
+    eviction contracts: the global watermark is min(per-side max event
+    time) − delay, a left null emits iff ts + upper < wm (strict), a
+    right null iff ts_r + lower < wm — the symmetric extension of the
+    LEFT OUTER contract verified empirically for stream_tool_left_join.
+    Rows whose window the stream's end leaves open stay unemitted on
+    both sides; that two-sided delta is what the oracle proves. State
+    is bounded by the interval exactly as in the inner form — full
+    outer adds no retention, only the evicted-unmatched emissions."""
+    import uuid
+
+    from dstream_spark.operators.joins import interval_join
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("fojoin")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True)
+    a = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    t = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    agents = a.filter(F.col("role") == "agent").select("conv_id", "turn_idx", "ts")
+    tools = t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool", "ts")
+    j = interval_join(
+        agents, tools, lower_s=600, upper_s=600, watermark="2 hours", how="fullOuter"
+    ).select(
+        F.coalesce(F.col("conv_id"), F.col("conv_id_r")).alias("conv_id"),
+        F.col("turn_idx").alias("agent_turn"),
+        F.col("turn_idx_r").alias("tool_turn"),
+        F.col("tool_r").alias("tool"),
+    )
+    name = f"fojoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP: the user → agent → tool-call triple detected
     across micro-batch boundaries by applyInPandasWithState — per-conv
@@ -1986,6 +2033,44 @@ WHERE NOT EXISTS (
     AND t.ts <= a.ts + INTERVAL '600 seconds')
   AND a.ts + INTERVAL '600 seconds' < (SELECT w FROM wm)"""
     ),
+    "stream_tool_full_join": _t_sql(
+        """
+, agents AS (
+  SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'agent'
+), tools AS (
+  SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool IS NOT NULL
+), wm AS (
+  SELECT least((SELECT max(ts) FROM agents), (SELECT max(ts) FROM tools))
+         - INTERVAL '2 hours' AS w
+)
+SELECT a.conv_id AS conv_id, a.turn_idx AS agent_turn,
+       t.turn_idx AS tool_turn, t.tool AS tool
+FROM agents a
+JOIN tools t
+  ON a.conv_id = t.conv_id
+ AND t.ts >= a.ts - INTERVAL '600 seconds'
+ AND t.ts <= a.ts + INTERVAL '600 seconds'
+UNION ALL
+SELECT a.conv_id, a.turn_idx AS agent_turn,
+       CAST(NULL AS INTEGER) AS tool_turn, CAST(NULL AS VARCHAR) AS tool
+FROM agents a
+WHERE NOT EXISTS (
+  SELECT 1 FROM tools t
+  WHERE t.conv_id = a.conv_id
+    AND t.ts >= a.ts - INTERVAL '600 seconds'
+    AND t.ts <= a.ts + INTERVAL '600 seconds')
+  AND a.ts + INTERVAL '600 seconds' < (SELECT w FROM wm)
+UNION ALL
+SELECT t.conv_id, CAST(NULL AS INTEGER) AS agent_turn,
+       t.turn_idx AS tool_turn, t.tool AS tool
+FROM tools t
+WHERE NOT EXISTS (
+  SELECT 1 FROM agents a
+  WHERE a.conv_id = t.conv_id
+    AND a.ts >= t.ts - INTERVAL '600 seconds'
+    AND a.ts <= t.ts + INTERVAL '600 seconds')
+  AND t.ts + INTERVAL '600 seconds' < (SELECT w FROM wm)"""
+    ),
     "tpch_q4": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -2519,6 +2604,12 @@ EXT_QUERIES: dict[str, Query] = {
         q_stream_tool_left_join, EXT_ORACLES["stream_tool_left_join"],
         "LEFT OUTER stream-stream interval join — null rows exactly at "
         "watermark-proven no-match, oracle encodes the eviction contract",
+    ),
+    "stream_tool_full_join": Query(
+        q_stream_tool_full_join, EXT_ORACLES["stream_tool_full_join"],
+        "FULL OUTER stream-stream interval join — unmatched rows on "
+        "BOTH sides exactly at watermark-proven eviction, oracle "
+        "encodes the two-sided contract",
     ),
     "conv_gap_median_udaf": Query(
         q_conv_gap_median_udaf, EXT_ORACLES["conv_gap_median_udaf"],
