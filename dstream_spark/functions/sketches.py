@@ -1,0 +1,189 @@
+"""Deterministic, oracle-exact streaming sketches: HyperLogLog
+count-distinct and count-min frequency estimation.
+
+At 10^12 turns, "distinct conversations per role/day" and "per-key
+event frequency" cannot be answered with COUNT(DISTINCT)/groupBy at
+interactive cost — the reference punts cardinality questions to the
+downstream warehouse entirely (its pipeline is a relay,
+docs/design/design.md:87-101). The Spark-native answer is a MERGEABLE
+sketch: bounded-size per-group state whose merge is associative +
+commutative (max for HLL registers, sum for CMS cells), so partial
+sketches combine map-side, across partitions, AND across streaming
+micro-batches through the exactly-once sink — the same algebra
+Spark's own approx_count_distinct (HLL++) uses internally.
+
+The twist that makes these ORACLE-EXACT (unlike approx_count_distinct,
+whose sketch internals are engine-private): every hash is md5 over an
+explicit string and every scalar formula is a SHARED SQL TEXT
+(module constants below) evaluated by Spark via F.expr and by DuckDB
+verbatim — identical bit patterns in, identical arithmetic out. The
+estimate is still approximate with respect to the TRUE cardinality
+(that's the point of a sketch); it is exact with respect to the
+algorithm, so a value-hash comparison against the oracle closes.
+
+Determinism notes (why the formula text is shaped this way):
+- register terms are powers of two: power(2.0, 63 - r) is an exact
+  double for r in [1, 63], summed as DECIMAL(38,0) (exact integers;
+  a bigint sum could overflow at 256 * 2^62). rho is capped at 63 so
+  the scaled term stays integral; the cap costs 2^-63 of accuracy.
+- the only libm call is ln() in the linear-counting branch; both
+  engines are correctly-rounded to well under the round(..., 4) the
+  outputs carry.
+- float summation order never matters: all double-valued expressions
+  are per-ROW scalars or ratios of exact aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+# -- shared scalar SQL (Spark F.expr == DuckDB verbatim) ---------------
+
+
+def hex_pair_expr(hcol: str, pos: int = 1) -> str:
+    """Value of two hex digits of ``hcol`` starting at 1-based ``pos``
+    (0..255)."""
+    return (
+        f"(instr('{_HEX}', substr({hcol}, {pos}, 1)) - 1) * 16 + "
+        f"(instr('{_HEX}', substr({hcol}, {pos + 1}, 1)) - 1)"
+    )
+
+
+def rho_expr(hcol: str) -> str:
+    """Position (1-based) of the first set bit in the 64-bit tail
+    (hex chars 3..18) of ``hcol``, capped at 63.
+
+    Computed digit-wise so no engine-specific hex→int conversion is
+    needed: z leading zero DIGITS via regexp, then the leading-zero
+    BITS of the first non-zero nibble via a 4-way CASE."""
+    tail = f"substr({hcol}, 3, 16)"
+    z = f"length(regexp_extract({tail}, '^(0*)', 1))"
+    d = f"substr({tail}, {z} + 1, 1)"
+    nlz = (
+        f"CASE WHEN {d} = '1' THEN 3 "
+        f"WHEN {d} IN ('2', '3') THEN 2 "
+        f"WHEN {d} IN ('4', '5', '6', '7') THEN 1 ELSE 0 END"
+    )
+    return (
+        f"CASE WHEN {z} >= 16 THEN 63 "
+        f"ELSE least(4 * {z} + ({nlz}) + 1, 63) END"
+    )
+
+
+# HLL estimate from per-group aggregates n (registers present) and
+# s_scaled (SUM of 2^(63-r) as DECIMAL): raw estimate with the
+# standard alpha_256 bias constant, linear counting below 2.5m when
+# empty registers remain. m = 256 is baked into the text — the oracle
+# must be the same algorithm, not a parameterized cousin.
+HLL_EST_EXPR = (
+    "round(CASE WHEN ((0.7213 / (1 + 1.079 / 256.0)) * 65536.0"
+    " / ((256 - n) * 1.0 + CAST(s_scaled AS DOUBLE) / power(2.0, 63)))"
+    " <= 640.0 AND (256 - n) > 0"
+    " THEN 256.0 * ln(256.0 / (256 - n))"
+    " ELSE ((0.7213 / (1 + 1.079 / 256.0)) * 65536.0"
+    " / ((256 - n) * 1.0 + CAST(s_scaled AS DOUBLE) / power(2.0, 63)))"
+    " END, 4)"
+)
+
+
+# -- HyperLogLog -------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], item_col: str
+) -> DataFrame:
+    """Per-group HLL register table: (group..., bucket, r).
+
+    bucket = first byte of md5(item), r = max over items of the
+    first-set-bit position of the next 64 bits. ONE partial-aggregated
+    shuffle on (group, bucket) — ≤256 rows per group regardless of
+    item cardinality, and the table itself IS the mergeable sketch
+    (merge = MAX per (group, bucket), idempotent + commutative, so
+    replays and out-of-order partials cannot corrupt it)."""
+    h = df.select(
+        *group_cols, F.md5(F.col(item_col).cast("string")).alias("_h")
+    )
+    b = h.select(
+        *group_cols,
+        F.expr(hex_pair_expr("_h")).cast("int").alias("bucket"),
+        F.expr(rho_expr("_h")).cast("int").alias("rho"),
+    )
+    return b.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a register table to (group..., est_distinct).
+
+    est_distinct carries round(..., 4); the aggregates feeding it are
+    exact (COUNT + DECIMAL sum of power-of-two terms), so the value is
+    bit-identical across engines and partitionings."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CAST(power(2.0, 63 - r) AS DECIMAL(38,0))")
+        ).alias("s_scaled"),
+    )
+    return agg.select(
+        *group_cols, F.expr(HLL_EST_EXPR).alias("est_distinct")
+    )
+
+
+# -- count-min sketch --------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_build(
+    df: DataFrame, key_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Count-min table (i, bucket, cnt): CMS_DEPTH independent rows of
+    CMS_WIDTH counters; row i hashes key via md5(key || ':' || i).
+    The table is d*w counters TOTAL (256 cells here) regardless of key
+    cardinality; merge across partials/micro-batches = SUM per cell.
+    Pre-aggregate per key first when keys repeat heavily — the deposit
+    shuffle then carries |keys| * d rows, not |rows| * d."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    keyed = df.groupBy(key_col).agg(F.sum(w).cast("long").alias("_w"))
+    rows = keyed.select(
+        F.col(key_col).cast("string").alias("_k"),
+        "_w",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i"),
+    ).select(
+        "i",
+        "_w",
+        F.md5(F.concat(F.col("_k"), F.lit(":"), F.col("i").cast("string"))).alias("_h"),
+    )
+    cell = rows.select(
+        "i",
+        (F.expr(hex_pair_expr("_h")) % CMS_WIDTH).cast("int").alias("bucket"),
+        "_w",
+    )
+    return cell.groupBy("i", "bucket").agg(F.sum("_w").alias("cnt"))
+
+
+def cms_lookup(keys: DataFrame, table: DataFrame, key_col: str) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: the estimate is
+    MIN over the d cells the key hashes to — an overestimate of the
+    true count by construction (collisions only add). The 256-cell
+    table is broadcast; the probe is a map-side join however many keys
+    are queried."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i"),
+    ).select(
+        key_col,
+        "i",
+        F.md5(
+            F.concat(F.col(key_col).cast("string"), F.lit(":"), F.col("i").cast("string"))
+        ).alias("_h"),
+    ).select(
+        key_col,
+        "i",
+        (F.expr(hex_pair_expr("_h")) % CMS_WIDTH).cast("int").alias("bucket"),
+    )
+    j = probes.join(F.broadcast(table), ["i", "bucket"])
+    return j.groupBy(key_col).agg(F.min("cnt").alias("cms_est"))

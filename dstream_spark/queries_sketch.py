@@ -1,0 +1,202 @@
+"""Registry entries for the deterministic sketches
+(functions/sketches.py): HLL count-distinct over conversations and a
+count-min frequency table over events, in batch and streaming-merge
+forms.
+
+Oracle strategy: the scalar hash/estimate formulas are SHARED SQL TEXT
+(sketches.hex_pair_expr / rho_expr / HLL_EST_EXPR) interpolated into
+both the Spark plan (F.expr) and the DuckDB oracle, so the sketches
+are value-exact across engines — approximate with respect to the true
+cardinality, exact with respect to the algorithm. See the module
+docstring in functions/sketches.py for the determinism analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dstream_spark.fixtures.transcripts import register_tables
+from dstream_spark.functions.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_EST_EXPR,
+    cms_build,
+    cms_lookup,
+    hex_pair_expr,
+    hll_estimate,
+    hll_registers,
+)
+from dstream_spark.functions.sketches import rho_expr as _rho
+from dstream_spark.queries_base import Query, _t_sql, _transcripts
+
+
+def q_conv_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register table itself — (role, bucket, r), ≤256 rows per
+    role whatever the conversation count. Integer-exact: this IS the
+    mergeable sketch state an executor would ship for a map-side
+    combine at 10^12 turns (merge = MAX per cell, idempotent under
+    replay)."""
+    t = _transcripts(spark, sf_dir)
+    return hll_registers(t, ["role"], "conv_id")
+
+
+def q_conv_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct conversations per role (HLL, m=256)
+    alongside the exact COUNT(DISTINCT): one row per role with the
+    estimate and the truth it approximates. The estimate aggregates
+    the ≤256-row register table — at scale the exact column is the
+    expensive one (full shuffle of every conv_id); the sketch column
+    costs a constant-size combine."""
+    t = _transcripts(spark, sf_dir)
+    est = hll_estimate(hll_registers(t, ["role"], "conv_id"), ["role"])
+    ex = t.groupBy("role").agg(
+        F.countDistinct("conv_id").alias("exact_distinct")
+    )
+    return est.join(ex, "role").select("role", "est_distinct", "exact_distinct")
+
+
+def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch merge: each micro-batch computes its own
+    partial HLL registers and appends them (keyed by epoch) through
+    the exactly-once MergeSink; the read side folds all epochs with
+    MAX per (role, bucket) and the estimate over the MERGED registers
+    equals the batch estimate — the mergeability property demonstrated
+    end-to-end through the commit protocol. Batch 0 is replayed: the
+    sink's commit-marker skip absorbs it, and even a hypothetical
+    double-apply could not corrupt the sketch because max-merge is
+    idempotent (the property that makes HLL safe under at-least-once
+    delivery generally)."""
+    import os
+    import uuid
+
+    from dstream_spark.sinks.merge import MergeSink
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("hllm_feed")
+    table = _scratch("hllm_table")
+    ckpt = _scratch("hllm_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    sink = MergeSink(
+        table,
+        keys=("role", "bucket", "epoch"),
+        partition_key="role",
+        order_cols=("role", "bucket"),
+        n_partitions=4,
+    )
+
+    def deposit(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, ["role"], "conv_id").withColumn(
+            "epoch", F.lit(int(batch_id)).cast("long")
+        )
+        sink.process_batch(regs, batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(deposit)
+        .option("checkpointLocation", os.path.join(ckpt, f"q_{uuid.uuid4().hex[:8]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        sink.read_table(spark)
+        .groupBy("role", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate(merged, ["role"])
+    ex = _transcripts(spark, sf_dir).groupBy("role").agg(
+        F.countDistinct("conv_id").alias("exact_distinct")
+    )
+    return est.join(ex, "role").select("role", "est_distinct", "exact_distinct")
+
+
+def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimation over the events table: per-user
+    event counts point-queried from a d=4 × w=64 sketch next to the
+    true counts. cms_est >= n_events for every key by construction
+    (collisions only add) — the overestimate property is in the data.
+    The sketch is 256 cells TOTAL; at 10^12 events the deposit is a
+    map-side combine to 256 rows and the probe a broadcast join,
+    while the true-count column is the full-shuffle path being
+    replaced."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    # deposit from the ALREADY-AGGREGATED per-key counts: the raw
+    # events shuffle happens once (truth), and the sketch build rides
+    # on |keys| rows instead of re-scanning |events|
+    table = cms_build(truth, "user_id", weight_col="n_events")
+    est = cms_lookup(truth, table, "user_id")
+    return truth.join(est, "user_id").select("user_id", "n_events", "cms_est")
+
+
+_HLL_REGS_CTES = f"""
+, h AS (SELECT role, md5(conv_id) AS _h FROM transcripts)
+, b AS (SELECT role, CAST({hex_pair_expr('_h')} AS INT) AS bucket,
+               CAST({_rho('_h')} AS INT) AS rho FROM h)
+, regs AS (SELECT role, bucket, MAX(rho) AS r FROM b GROUP BY role, bucket)
+"""
+
+_HLL_DISTINCT_SQL = _t_sql(
+    _HLL_REGS_CTES
+    + f"""
+, agg AS (SELECT role, COUNT(*) AS n,
+                 SUM(CAST(power(2.0, 63 - r) AS DECIMAL(38,0))) AS s_scaled
+          FROM regs GROUP BY role)
+, ex AS (SELECT role, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_distinct
+         FROM transcripts GROUP BY role)
+SELECT agg.role AS role, {HLL_EST_EXPR} AS est_distinct, ex.exact_distinct
+FROM agg JOIN ex ON agg.role = ex.role"""
+)
+
+_CMS_HASH = "md5(CAST(user_id AS STRING) || ':' || CAST(i AS STRING))"
+
+_CMS_SQL = f"""
+WITH keyed AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS w FROM events GROUP BY user_id
+), dep AS (
+  SELECT user_id, i, w, {_CMS_HASH} AS _h
+  FROM keyed CROSS JOIN range({CMS_DEPTH}) t(i)
+), cells AS (
+  SELECT user_id, i, w,
+         CAST(({hex_pair_expr('_h')}) % {CMS_WIDTH} AS INT) AS bucket
+  FROM dep
+), tab AS (
+  SELECT i, bucket, CAST(SUM(w) AS BIGINT) AS cnt
+  FROM cells GROUP BY i, bucket
+), est AS (
+  SELECT c.user_id, CAST(MIN(t.cnt) AS BIGINT) AS cms_est
+  FROM cells c JOIN tab t ON c.i = t.i AND c.bucket = t.bucket
+  GROUP BY c.user_id
+)
+SELECT k.user_id, k.w AS n_events, e.cms_est
+FROM keyed k JOIN est e ON k.user_id = e.user_id"""
+
+
+SKETCH_QUERIES: dict[str, Query] = {
+    "conv_hll_registers": Query(
+        q_conv_hll_registers,
+        _t_sql(_HLL_REGS_CTES + "SELECT role, bucket, r FROM regs"),
+        "the HLL sketch state itself: ≤256 (bucket, max-rho) registers "
+        "per role, integer-exact, merge = MAX per cell",
+    ),
+    "conv_hll_distinct": Query(
+        q_conv_hll_distinct, _HLL_DISTINCT_SQL,
+        "deterministic HLL (m=256, shared-formula oracle) next to the "
+        "exact COUNT(DISTINCT) it approximates",
+    ),
+    "stream_hll_merge": Query(
+        q_stream_hll_merge, _HLL_DISTINCT_SQL,
+        "per-epoch partial registers through the exactly-once sink, "
+        "max-merged at read == the batch estimate (mergeability + "
+        "replay-idempotence end-to-end)",
+    ),
+    "events_cms_counts": Query(
+        q_events_cms_counts, _CMS_SQL,
+        "count-min sketch (d=4, w=64): per-user estimates >= true "
+        "counts, 256-cell table, broadcast probe — integer-exact",
+    ),
+}

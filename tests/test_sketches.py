@@ -1,0 +1,100 @@
+"""Deterministic sketch properties (functions/sketches.py): register
+bounds, mergeability/idempotence, estimate accuracy on known
+cardinalities, and the count-min overestimate guarantee."""
+
+from pyspark.sql import functions as F
+
+from dstream_spark.functions.sketches import (
+    cms_build,
+    cms_lookup,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _items(spark, n, group="g"):
+    return spark.range(n).select(
+        F.lit(group).alias("grp"), F.concat(F.lit("item_"), F.col("id")).alias("item")
+    )
+
+
+def test_hll_register_table_is_bounded(spark):
+    regs = hll_registers(_items(spark, 20_000), ["grp"], "item")
+    assert regs.count() <= 256  # the whole sketch, at any cardinality
+    assert regs.filter((F.col("bucket") < 0) | (F.col("bucket") > 255)).count() == 0
+    assert regs.filter((F.col("r") < 1) | (F.col("r") > 63)).count() == 0
+
+
+def test_hll_merge_of_partials_equals_whole_and_is_idempotent(spark):
+    """Registers over A∪B == max-merge of registers(A), registers(B);
+    merging the same partial twice changes nothing (the at-least-once
+    safety property)."""
+    a = _items(spark, 3_000)
+    b = spark.range(2_000, 6_000).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("item_"), F.col("id")).alias("item")
+    )
+    whole = hll_registers(a.union(b), ["grp"], "item")
+    ra, rb = hll_registers(a, ["grp"], "item"), hll_registers(b, ["grp"], "item")
+    merged = (
+        ra.union(rb).union(rb)  # rb twice: idempotence under replay
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_accuracy_raw_branch(spark):
+    """5000 distinct items: m=256 gives ~6.5% standard error; accept
+    3 sigma."""
+    est = hll_estimate(
+        hll_registers(_items(spark, 5_000), ["grp"], "item"), ["grp"]
+    ).first()["est_distinct"]
+    assert abs(est - 5_000) / 5_000 < 0.20, est
+
+
+def test_hll_estimate_linear_counting_branch(spark):
+    """30 distinct items: well under 2.5m with empty registers, so the
+    linear-counting branch fires — near-exact at this range."""
+    est = hll_estimate(
+        hll_registers(_items(spark, 30), ["grp"], "item"), ["grp"]
+    ).first()["est_distinct"]
+    assert abs(est - 30) / 30 < 0.15, est
+
+
+def test_hll_estimate_deterministic_across_partitionings(spark):
+    df = _items(spark, 4_000)
+    e1 = hll_estimate(hll_registers(df, ["grp"], "item"), ["grp"]).first()["est_distinct"]
+    e2 = hll_estimate(
+        hll_registers(df.repartition(17), ["grp"], "item"), ["grp"]
+    ).first()["est_distinct"]
+    assert e1 == e2  # bit-identical, not approximately equal
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 20).alias("k"),  # 20 keys, 25 rows each
+    )
+    truth = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    table = cms_build(df, "k")
+    est = cms_lookup(truth, table, "k")
+    j = truth.join(est, "k")
+    assert j.filter(F.col("cms_est") < F.col("n")).count() == 0  # overestimate only
+    # d=4 rows of w=64 cells vs 20 keys: at least one collision-free
+    # row per key is overwhelmingly likely -> min is exact
+    assert j.filter(F.col("cms_est") != F.col("n")).count() == 0
+
+
+def test_cms_merge_of_partials_equals_whole(spark):
+    """cms(A∪B) == cellwise SUM of cms(A) + cms(B) — the mergeable-
+    sketch contract for the streaming deposit path."""
+    a = spark.range(300).select((F.col("id") % 7).alias("k"))
+    b = spark.range(300, 900).select((F.col("id") % 11).alias("k"))
+    whole = cms_build(a.union(b), "k")
+    merged = (
+        cms_build(a, "k").union(cms_build(b, "k"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
