@@ -65,9 +65,16 @@ class Step:
     # greedy zero-or-one step (regex '?' / MATCH_RECOGNIZE B?):
     # only make_optional_fn interprets this flag
     optional: bool = False
+    # ALTERNATION (regex '(x|y)' / MATCH_RECOGNIZE pattern variables
+    # sharing a position): role must be one of these. Orthogonal to
+    # ``role`` (set one or the other); every pattern form gets the
+    # semantics for free because they all test via matches().
+    role_in: tuple[str, ...] | None = None
 
     def matches(self, role, tool, window_tools=None) -> bool:
         if self.role is not None and role != self.role:
+            return False
+        if self.role_in is not None and role not in self.role_in:
             return False
         if self.tool_required and not isinstance(tool, str):
             return False  # null arrives as None OR NaN
@@ -102,6 +109,11 @@ TOOL_RETRY_SAME = (
     Step(role="agent"),
     Step(role="tool", tool_required=True, tool_equals_step=0),
 )  # "... and the retry is the SAME tool" (cross-step constraint)
+USER_ALT_TOOL = (
+    Step(role="user"),
+    Step(role_in=("agent", "tool")),
+    Step(tool_required=True),
+)  # "user -> (agent reply | tool turn) -> tool call": ALTERNATION step
 
 
 def make_cep_fn(pattern: tuple[Step, ...], span_s: int = PATTERN_SPAN_S,

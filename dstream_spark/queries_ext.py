@@ -838,6 +838,66 @@ def q_stream_cep_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cep_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTERNATION CEP (regex ``A (B|C) D`` — a pattern position
+    admitting either of two variables, MATCH_RECOGNIZE's alternation):
+    user → EITHER an agent reply OR a tool turn → a tool call, three
+    consecutive turns within 18 h (operators/cep.USER_ALT_TOOL via
+    Step.role_in). Batch twin: the same single lead()-window scan as
+    every fixed-length pattern, with the middle predicate an IN —
+    alternation costs nothing at the plan level."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    seq = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        epoch.alias("t0"),
+        F.lead("role", 1).over(w).alias("role1"),
+        F.lead("tool", 2).over(w).alias("tool2"),
+        F.lead(epoch, 2).over(w).alias("t2"),
+    )
+    return seq.filter(
+        (F.col("role") == "user")
+        & F.col("role1").isin("agent", "tool")
+        & F.col("tool2").isNotNull()
+        & (F.col("t2") - F.col("t0") <= 64800)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("first_turn"),
+        F.col("tool2").alias("tool"),
+        (F.col("t2") - F.col("t0")).alias("span_s"),
+    )
+
+
+def q_stream_cep_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING alternation: cep_pattern_stream with USER_ALT_TOOL —
+    Step.role_in rides the unchanged state machinery (every pattern
+    form tests predicates through Step.matches), so alternation in
+    streaming is pure configuration too. Oracle: the batch IN-scan."""
+    import uuid
+
+    from dstream_spark.operators.cep import USER_ALT_TOOL, cep_pattern_stream
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("cepalt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_turn=True, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = cep_pattern_stream(src, pattern=USER_ALT_TOOL)
+    name = f"cepalt_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 FOLLOWED_BY_N_TURNS = 6  # 'A followed by B' search window (turns)
 
 
@@ -2137,6 +2197,24 @@ FROM seq
 WHERE role = 'tool' AND tool IS NOT NULL AND role1 = 'agent'
   AND role2 = 'tool' AND tool2 IS NOT NULL AND t2 - t0 <= 64800"""
     ),
+    # alternation (A (B|C) D): the fixed-length lead() scan with the
+    # middle predicate an IN over the alternatives
+    "cep_alternation": _t_sql(
+        """
+, seq AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t0,
+         lead(role, 1) OVER w AS role1,
+         lead(tool, 2) OVER w AS tool2,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS first_turn, tool2 AS tool, t2 - t0 AS span_s
+FROM seq
+WHERE role = 'user' AND role1 IN ('agent', 'tool')
+  AND tool2 IS NOT NULL AND t2 - t0 <= 64800"""
+    ),
     # skip-till-next-match: per user turn, the FIRST tool turn within
     # 6 turns and 18 h (the self-join + rn=1 form is the oracle; the
     # engine's batch twin is the lead-array scan, the streaming form
@@ -2540,6 +2618,17 @@ EXT_QUERIES: dict[str, Query] = {
         q_cep_tool_retry_same, EXT_ORACLES["cep_tool_retry_same"],
         "CROSS-STEP value constraint: the retry must be the SAME tool "
         "(Step.tool_equals_step) — a pattern language, not a role filter",
+    ),
+    "cep_alternation": Query(
+        q_cep_alternation, EXT_ORACLES["cep_alternation"],
+        "ALTERNATION (user -> (agent|tool) -> tool call, regex "
+        "'(B|C)'): Step.role_in, batch twin = the lead() scan with an "
+        "IN predicate",
+    ),
+    "stream_cep_alternation": Query(
+        q_stream_cep_alternation, EXT_ORACLES["cep_alternation"],
+        "streaming alternation through the unchanged Step machinery — "
+        "role_in is config, == the batch IN-scan",
     ),
     "cep_followed_by": Query(
         q_cep_followed_by, EXT_ORACLES["cep_followed_by"],

@@ -110,7 +110,14 @@ _roles = st.sampled_from(["user", "agent", "tool"])
 _tools = st.sampled_from([None, "tool_1", "tool_2"])
 _turns = st.lists(st.tuples(_roles, _tools, st.integers(0, 5)), min_size=2, max_size=24)
 _steps = st.lists(
-    st.tuples(st.sampled_from([None, "user", "agent", "tool"]), st.booleans()),
+    st.tuples(
+        st.sampled_from(
+            [None, "user", "agent", "tool",
+             # ALTERNATION steps (Step.role_in) ride the same machinery
+             ("user", "agent"), ("agent", "tool"), ("user", "tool")]
+        ),
+        st.booleans(),
+    ),
     min_size=2,
     max_size=4,
 )
@@ -133,12 +140,16 @@ def test_streaming_cep_equals_batch_scan_any_pattern_and_split(
 
     from tests.test_cep import FakeState, _batch
 
-    pattern = tuple(Step(role=r, tool_required=tr) for r, tr in steps)
+    def _step(r, tr, **kw):
+        if isinstance(r, tuple):
+            return Step(role_in=r, tool_required=tr, **kw)
+        return Step(role=r, tool_required=tr, **kw)
+
+    pattern = tuple(_step(r, tr) for r, tr in steps)
     if same_tool_last and any(tr for _, tr in steps[:-1]):
         anchor = next(i for i, (_, tr) in enumerate(steps[:-1]) if tr)
-        last = pattern[-1]
         pattern = pattern[:-1] + (
-            Step(role=last.role, tool_required=True, tool_equals_step=anchor),
+            _step(steps[-1][0], True, tool_equals_step=anchor),
         )
     span_s = 120
     k = len(pattern)
