@@ -898,6 +898,118 @@ def q_stream_cep_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _tool_version_dim(spark: SparkSession, sf_dir: str):
+    """A deterministic SCD-2 dimension derived from the corpus: each
+    tool gets 3 VERSIONS over the event-time range (slice boundaries =
+    equal thirds of [min, max] epoch), carrying the tool's cumulative
+    invocation count through the end of each slice. Returns
+    (tool, version, valid_from, valid_to, cum_uses) — a true
+    validity-interval table (every tool × every slice, zero-use slices
+    included), small enough to broadcast at any corpus size because
+    its row count is |tools| × versions, not |turns|."""
+    t = _transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    lo, hi = t.agg(F.min(epoch), F.max(epoch)).first()
+    span = int(hi) - int(lo) + 1
+    sliced = t.select(
+        "tool",
+        F.least(F.lit(2), ((epoch - F.lit(int(lo))) * 3 / span).cast("int")).alias(
+            "version"
+        ),
+    )
+    counts = sliced.groupBy("tool", "version").agg(F.count(F.lit(1)).alias("n"))
+    scaffold = (
+        t.select("tool").distinct()
+        .crossJoin(spark.range(3).select(F.col("id").cast("int").alias("version")))
+    )
+    w = Window.partitionBy("tool").orderBy("version").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dim = (
+        scaffold.join(counts, ["tool", "version"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .select(
+            "tool",
+            "version",
+            (F.lit(int(lo)) + F.floor(F.col("version") * span / F.lit(3.0))
+             .cast("long")).alias("valid_from"),
+            F.when(F.col("version") == 2, F.lit(int(hi) + 1)).otherwise(
+                F.lit(int(lo)) + F.floor((F.col("version") + 1) * span / F.lit(3.0))
+                .cast("long")
+            ).alias("valid_to"),
+            F.sum("n").over(w).alias("cum_uses"),
+        )
+    )
+    return dim
+
+
+def q_tool_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL (point-in-time / SCD-2) JOIN: each tool invocation is
+    enriched with the dimension VERSION valid at its event time —
+    tool == tool AND valid_from <= ts < valid_to — the
+    slowly-changing-dimension lookup every warehouse pipeline needs
+    and plain equi-joins get wrong (they'd match all versions). The
+    dimension (_tool_version_dim) is |tools|×3 rows → broadcast, so
+    the probe is map-side at any fact size; Flink calls this a
+    temporal table join, Spark expresses it as a range-predicated
+    broadcast join with no custom operator."""
+    t = _transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    dim = _tool_version_dim(spark, sf_dir)
+    e = F.col("ts").cast("timestamp").cast("long")
+    facts = t.select("conv_id", "turn_idx", "tool", e.alias("e"))
+    j = facts.join(
+        F.broadcast(dim),
+        (facts.tool == dim.tool)
+        & (F.col("e") >= F.col("valid_from"))
+        & (F.col("e") < F.col("valid_to")),
+    )
+    return j.select(
+        "conv_id", "turn_idx", facts.tool.alias("tool"), "version", "cum_uses"
+    )
+
+
+def q_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING temporal join: the change feed's tool turns enriched
+    against the STATIC versioned dimension with the same validity-
+    interval predicate — Spark re-evaluates the broadcast static side
+    per micro-batch (the mechanism that picks up dimension updates in
+    production), needs no watermark (the static side never expires),
+    and arrival order cannot change the answer because each fact row's
+    version is a function of its own event time. == the batch
+    point-in-time join row-for-row."""
+    import uuid
+
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("temporal")
+    _write_feed(spark, sf_dir, feed, n_batches=4)
+    dim = _tool_version_dim(spark, sf_dir)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    facts = src.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool",
+        F.col("ts").cast("timestamp").cast("long").alias("e"),
+    )
+    j = facts.join(
+        F.broadcast(dim),
+        (facts.tool == dim.tool)
+        & (F.col("e") >= F.col("valid_from"))
+        & (F.col("e") < F.col("valid_to")),
+    ).select(
+        "conv_id", "turn_idx", facts.tool.alias("tool"), "version", "cum_uses"
+    )
+    name = f"temporal_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 FOLLOWED_BY_N_TURNS = 6  # 'A followed by B' search window (turns)
 
 
@@ -2197,6 +2309,45 @@ FROM seq
 WHERE role = 'tool' AND tool IS NOT NULL AND role1 = 'agent'
   AND role2 = 'tool' AND tool2 IS NOT NULL AND t2 - t0 <= 64800"""
     ),
+    # temporal / SCD-2 point-in-time join: the versioned dimension is
+    # rebuilt in SQL (same floor arithmetic — note DuckDB CAST(double
+    # AS INT) ROUNDS, so every narrowing goes through FLOOR to match
+    # Spark's truncating cast) and each fact row joins the version
+    # whose validity interval contains its event time
+    "tool_temporal_enrich": _t_sql(
+        """
+, tl AS (
+  SELECT conv_id, turn_idx, tool, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e
+  FROM transcripts WHERE tool IS NOT NULL
+), bounds AS (
+  SELECT MIN(e) AS lo, MAX(e) AS hi, MAX(e) - MIN(e) + 1 AS span FROM tl
+), sliced AS (
+  SELECT tool, least(2, CAST(FLOOR((e - lo) * 3.0 / span) AS INT)) AS version
+  FROM tl CROSS JOIN bounds
+), counts AS (
+  SELECT tool, version, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sliced GROUP BY tool, version
+), scaffold AS (
+  SELECT DISTINCT tl.tool, v.version
+  FROM tl CROSS JOIN (SELECT CAST(UNNEST([0, 1, 2]) AS INT) AS version) v
+), dim AS (
+  SELECT s.tool, s.version,
+         lo + CAST(FLOOR(s.version * span / 3.0) AS BIGINT) AS valid_from,
+         CASE WHEN s.version = 2 THEN hi + 1
+              ELSE lo + CAST(FLOOR((s.version + 1) * span / 3.0) AS BIGINT)
+         END AS valid_to,
+         CAST(SUM(COALESCE(c.n, 0)) OVER (
+           PARTITION BY s.tool ORDER BY s.version
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_uses
+  FROM scaffold s
+  LEFT JOIN counts c ON s.tool = c.tool AND s.version = c.version
+  CROSS JOIN bounds
+)
+SELECT f.conv_id, f.turn_idx, f.tool, d.version, d.cum_uses
+FROM tl f
+JOIN dim d ON f.tool = d.tool
+          AND f.e >= d.valid_from AND f.e < d.valid_to"""
+    ),
     # alternation (A (B|C) D): the fixed-length lead() scan with the
     # middle predicate an IN over the alternatives
     "cep_alternation": _t_sql(
@@ -2618,6 +2769,18 @@ EXT_QUERIES: dict[str, Query] = {
         q_cep_tool_retry_same, EXT_ORACLES["cep_tool_retry_same"],
         "CROSS-STEP value constraint: the retry must be the SAME tool "
         "(Step.tool_equals_step) — a pattern language, not a role filter",
+    ),
+    "tool_temporal_enrich": Query(
+        q_tool_temporal_enrich, EXT_ORACLES["tool_temporal_enrich"],
+        "TEMPORAL (point-in-time / SCD-2) join: each tool invocation "
+        "picks the dimension version valid at its event time — "
+        "broadcast range-predicated join, |tools|x3 dim",
+    ),
+    "stream_temporal_enrich": Query(
+        q_stream_temporal_enrich, EXT_ORACLES["tool_temporal_enrich"],
+        "streaming temporal join against the static versioned "
+        "dimension (re-broadcast per micro-batch, no watermark "
+        "needed) == the batch point-in-time join",
     ),
     "cep_alternation": Query(
         q_cep_alternation, EXT_ORACLES["cep_alternation"],
