@@ -131,6 +131,84 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+# -- equi-width histogram quantiles ------------------------------------
+
+HIST_BINS = 128
+
+# quantile estimate from per-group aggregates over the bin table,
+# linearly interpolated inside the selected bin. Inputs: lo, span
+# (scalars), n_total, and cum/cnt/bin of the FIRST bin whose running
+# count reaches ceil(q * n_total). All scalar double math — no
+# summation-order hazard — and the only narrowing is floor().
+def hist_quantile_expr(q: str) -> str:
+    """SQL text: interpolated value at quantile ``q`` given columns
+    bin, cnt, cum (first bin reaching the rank), lo, span, n_total."""
+    rank = f"ceil({q} * n_total)"
+    frac = f"(({rank} - (cum - cnt)) * 1.0 / cnt)"
+    return (
+        f"round(lo + (bin + {frac}) * (span / {HIST_BINS}.0), 4)"
+    )
+
+
+def hist_bins(
+    df: DataFrame, group_cols: list[str], value_col: str, lo: float, span: float
+) -> DataFrame:
+    """Equi-width histogram over ``[lo, lo + span)``: (group..., bin,
+    cnt). ≤HIST_BINS rows per group at any input size; merge across
+    partials/micro-batches = SUM per (group, bin) — same mergeable-
+    sketch algebra as the CMS cells. Bounds are parameters (a prior
+    scalar agg or domain knowledge) so the deposit is one pass."""
+    b = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((F.col(value_col) - F.lit(lo)) * HIST_BINS / F.lit(span)).cast("int"),
+    ).alias("bin")
+    return (
+        df.select(*group_cols, b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    bins: DataFrame, group_cols: list[str], lo: float, span: float,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Collapse a bin table to per-group interpolated quantile
+    estimates (one column per requested quantile, est_p50-style
+    names). The rank scan is a running sum over ≤HIST_BINS rows per
+    group — a bounded window, never a sort of the raw data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_total", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    cum = cum.withColumn("lo", F.lit(lo)).withColumn("span", F.lit(span))
+    outs = []
+    for q in quantiles:
+        name = f"est_p{int(q * 100)}"
+        first = (
+            cum.filter(F.col("cum") >= F.expr(f"ceil({q} * n_total)"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*group_cols).orderBy("bin")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(*group_cols, F.expr(hist_quantile_expr(str(q))).alias(name))
+        )
+        outs.append(first)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.join(o, group_cols)
+    return res
+
+
 # -- count-min sketch --------------------------------------------------
 
 CMS_DEPTH = 4

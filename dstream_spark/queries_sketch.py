@@ -20,10 +20,14 @@ from dstream_spark.fixtures.transcripts import register_tables
 from dstream_spark.functions.sketches import (
     CMS_DEPTH,
     CMS_WIDTH,
+    HIST_BINS,
     HLL_EST_EXPR,
     cms_build,
     cms_lookup,
     hex_pair_expr,
+    hist_bins,
+    hist_quantile_expr,
+    hist_quantiles,
     hll_estimate,
     hll_registers,
 )
@@ -133,6 +137,32 @@ def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(est, "user_id").select("user_id", "n_events", "cms_est")
 
 
+def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch: per-event-type p50/p95 estimated
+    from a {HIST_BINS}-bin equi-width histogram with in-bin linear
+    interpolation — the third sketch family (distinct → HLL,
+    frequency → CMS, quantiles → histogram). The bin table is
+    ≤{HIST_BINS} rows per group at any input size and merges by SUM
+    per (group, bin); the rank scan is a bounded window over the bin
+    table, never a sort of the raw values (exact percentiles at
+    10^12 rows need exactly that global sort). Bounds come from one
+    scalar agg (two-pass; production pins them from domain
+    knowledge). Shared-formula oracle: bin assignment and the
+    interpolation run as identical SQL text on both engines."""
+    from dstream_spark.fixtures.transcripts import register_tables as _rt
+
+    _rt(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    lo, span = float(lo), float(hi) - float(lo)
+    bins = hist_bins(ev, ["event_type"], "value", lo, span)
+    est = hist_quantiles(bins, ["event_type"], lo, span, (0.5, 0.95))
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return n.join(est, "event_type").select(
+        "event_type", "n_events", "est_p50", "est_p95"
+    )
+
+
 _HLL_REGS_CTES = f"""
 , h AS (SELECT role, md5(conv_id) AS _h FROM transcripts)
 , b AS (SELECT role, CAST({hex_pair_expr('_h')} AS INT) AS bucket,
@@ -176,6 +206,39 @@ SELECT k.user_id, k.w AS n_events, e.cms_est
 FROM keyed k JOIN est e ON k.user_id = e.user_id"""
 
 
+_HIST_SQL = f"""
+WITH b0 AS (
+  SELECT MIN(value) AS lo, MAX(value) - MIN(value) AS span FROM events
+), bins AS (
+  SELECT event_type,
+         least({HIST_BINS - 1},
+               CAST(FLOOR((value - lo) * {HIST_BINS} / span) AS INT)) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN b0 GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, cnt, lo, span,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n_total
+  FROM bins CROSS JOIN b0
+), q50 AS (
+  SELECT event_type, {hist_quantile_expr('0.5')} AS est_p50,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+  FROM cum WHERE cum >= ceil(0.5 * n_total)
+), q95 AS (
+  SELECT event_type, {hist_quantile_expr('0.95')} AS est_p95,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+  FROM cum WHERE cum >= ceil(0.95 * n_total)
+), n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT n.event_type, n.n_events, q50.est_p50, q95.est_p95
+FROM n
+JOIN q50 ON n.event_type = q50.event_type AND q50.rn = 1
+JOIN q95 ON n.event_type = q95.event_type AND q95.rn = 1"""
+
+
 SKETCH_QUERIES: dict[str, Query] = {
     "conv_hll_registers": Query(
         q_conv_hll_registers,
@@ -198,5 +261,11 @@ SKETCH_QUERIES: dict[str, Query] = {
         q_events_cms_counts, _CMS_SQL,
         "count-min sketch (d=4, w=64): per-user estimates >= true "
         "counts, 256-cell table, broadcast probe — integer-exact",
+    ),
+    "events_hist_quantiles": Query(
+        q_events_hist_quantiles, _HIST_SQL,
+        "mergeable 128-bin histogram quantiles (p50/p95, in-bin "
+        "interpolation, shared-formula oracle) — bounded window over "
+        "the bin table, no global sort",
     ),
 }

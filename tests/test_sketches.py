@@ -5,8 +5,11 @@ cardinalities, and the count-min overestimate guarantee."""
 from pyspark.sql import functions as F
 
 from dstream_spark.functions.sketches import (
+    HIST_BINS,
     cms_build,
     cms_lookup,
+    hist_bins,
+    hist_quantiles,
     hll_estimate,
     hll_registers,
 )
@@ -83,6 +86,48 @@ def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
     # d=4 rows of w=64 cells vs 20 keys: at least one collision-free
     # row per key is overwhelmingly likely -> min is exact
     assert j.filter(F.col("cms_est") != F.col("n")).count() == 0
+
+
+def test_hist_bin_table_is_bounded_and_merges_by_sum(spark):
+    """Bin table ≤HIST_BINS rows per group at any input size, and
+    bins(A∪B) == per-(group,bin) SUM of bins(A)+bins(B) — the same
+    mergeable algebra the CMS cells use, so the streaming deposit
+    path is a plain keyed MERGE."""
+    a = spark.range(5_000).select(F.lit("g").alias("grp"), (F.col("id") % 997).cast("double").alias("v"))
+    b = spark.range(5_000, 9_000).select(F.lit("g").alias("grp"), (F.col("id") % 997).cast("double").alias("v"))
+    whole = hist_bins(a.union(b), ["grp"], "v", 0.0, 997.0)
+    assert whole.count() <= HIST_BINS
+    merged = (
+        hist_bins(a, ["grp"], "v", 0.0, 997.0)
+        .union(hist_bins(b, ["grp"], "v", 0.0, 997.0))
+        .groupBy("grp", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hist_quantile_accuracy_uniform(spark):
+    """Uniform 0..9999: equi-width bins are exact up to in-bin
+    interpolation error, i.e. within one bin width (10000/128 ≈ 78)."""
+    df = spark.range(10_000).select(
+        F.lit("g").alias("grp"), F.col("id").cast("double").alias("v")
+    )
+    bins = hist_bins(df, ["grp"], "v", 0.0, 10_000.0)
+    row = hist_quantiles(bins, ["grp"], 0.0, 10_000.0, (0.5, 0.95)).first()
+    assert abs(row["est_p50"] - 5_000) <= 10_000 / HIST_BINS, row
+    assert abs(row["est_p95"] - 9_500) <= 10_000 / HIST_BINS, row
+
+
+def test_hist_quantile_deterministic_across_partitionings(spark):
+    df = spark.range(7_321).select(
+        F.lit("g").alias("grp"), ((F.col("id") * 37) % 1000).cast("double").alias("v")
+    )
+    q1 = hist_quantiles(hist_bins(df, ["grp"], "v", 0.0, 1000.0), ["grp"], 0.0, 1000.0).first()
+    q2 = hist_quantiles(
+        hist_bins(df.repartition(13), ["grp"], "v", 0.0, 1000.0), ["grp"], 0.0, 1000.0
+    ).first()
+    assert q1 == q2  # bit-identical: integer cnt/cum, scalar double math
 
 
 def test_cms_merge_of_partials_equals_whole(spark):
