@@ -117,6 +117,82 @@ def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(ex, "role").select("role", "est_distinct", "exact_distinct")
 
 
+def q_stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING histogram merge: each micro-batch deposits its own
+    per-(role, bin) turn-text-length counts (keyed by epoch) through
+    the exactly-once MergeSink; the read side SUMs the partials and
+    the interpolated p50/p95 over the merged bins equal the batch
+    formula over the whole corpus. The contrast with stream_hll_merge
+    is the point: SUM-merge is NOT idempotent, so when batch 0 is
+    replayed here the commit-marker skip is LOAD-BEARING — a double-
+    apply would inflate every count and shift the quantiles, whereas
+    the HLL max-merge would shrug it off. This is the general shape of
+    additive sketches (histograms, CMS, counters) under at-least-once
+    upstreams: correctness comes from the sink's exactly-once
+    protocol, not the algebra — so the replay here is a crash-replay
+    of epoch 0 at its ORIGINAL epoch id (the stream_cdc_deletes
+    mechanism), which the commit marker must absorb; a feed-level
+    replay would arrive as a fresh batch id and sum-keyed partials
+    have no row-key MERGE to fall back on. Bounds are pinned
+    constants (lo=0, span=32 chars) as production would pin them — a
+    data-dependent scalar agg is unavailable mid-stream."""
+    import os
+    import uuid
+
+    from dstream_spark.sinks.merge import MergeSink
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("histm_feed")
+    table = _scratch("histm_table")
+    ckpt = _scratch("histm_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    sink = MergeSink(
+        table,
+        keys=("role", "bin", "epoch"),
+        partition_key="role",
+        order_cols=("role", "bin"),
+        n_partitions=4,
+    )
+
+    def partial(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        vals = batch_df.withColumn("tlen", F.length("text").cast("double"))
+        return hist_bins(vals, ["role"], "tlen", 0.0, 32.0).withColumn(
+            "epoch", F.lit(int(batch_id)).cast("long")
+        )
+
+    def deposit(batch_df: DataFrame, batch_id: int) -> None:
+        sink.process_batch(partial(batch_df, batch_id), batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(deposit)
+        .option("checkpointLocation", os.path.join(ckpt, f"q_{uuid.uuid4().hex[:8]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # crash-replay epoch 0 at its ORIGINAL id: the marker skip must
+    # reject the whole deposit — with SUM partials a double-apply
+    # would show up directly in n_turns and the quantiles
+    committed_before = sink.committed_batches()
+    sink.process_batch(
+        partial(spark.read.parquet(os.path.join(feed, "batch_00000.parquet")), 0), 0
+    )
+    if sink.committed_batches() != committed_before:
+        raise RuntimeError("same-epoch replay re-committed a sum partial")
+
+    merged = (
+        sink.read_table(spark)
+        .groupBy("role", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est = hist_quantiles(merged, ["role"], 0.0, 32.0, (0.5, 0.95))
+    n = merged.groupBy("role").agg(F.sum("cnt").alias("n_turns"))
+    return n.join(est, "role").select("role", "n_turns", "est_p50", "est_p95")
+
+
 def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimation over the events table: per-user
     event counts point-queried from a d=4 × w=64 sketch next to the
@@ -239,6 +315,39 @@ JOIN q50 ON n.event_type = q50.event_type AND q50.rn = 1
 JOIN q95 ON n.event_type = q95.event_type AND q95.rn = 1"""
 
 
+# batch twin of the streaming histogram deposit: same pinned bounds
+# (lo=0, span=32), same bin/interpolation formulas — partials summed
+# per (role, bin) across epochs == one pass over the whole corpus
+_HIST_STREAM_SQL = _t_sql(f"""
+, bins AS (
+  SELECT role,
+         least({HIST_BINS - 1},
+               CAST(FLOOR((length(text) - 0.0) * {HIST_BINS} / 32.0) AS INT)) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM transcripts GROUP BY role, bin
+), cum AS (
+  SELECT role, bin, cnt, 0.0 AS lo, 32.0 AS span,
+         SUM(cnt) OVER (PARTITION BY role ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY role) AS n_total
+  FROM bins
+), q50 AS (
+  SELECT role, {hist_quantile_expr('0.5')} AS est_p50,
+         ROW_NUMBER() OVER (PARTITION BY role ORDER BY bin) AS rn
+  FROM cum WHERE cum >= ceil(0.5 * n_total)
+), q95 AS (
+  SELECT role, {hist_quantile_expr('0.95')} AS est_p95,
+         ROW_NUMBER() OVER (PARTITION BY role ORDER BY bin) AS rn
+  FROM cum WHERE cum >= ceil(0.95 * n_total)
+), n AS (
+  SELECT role, CAST(SUM(cnt) AS BIGINT) AS n_turns FROM bins GROUP BY role
+)
+SELECT n.role, n.n_turns, q50.est_p50, q95.est_p95
+FROM n
+JOIN q50 ON n.role = q50.role AND q50.rn = 1
+JOIN q95 ON n.role = q95.role AND q95.rn = 1""")
+
+
 SKETCH_QUERIES: dict[str, Query] = {
     "conv_hll_registers": Query(
         q_conv_hll_registers,
@@ -261,6 +370,13 @@ SKETCH_QUERIES: dict[str, Query] = {
         q_events_cms_counts, _CMS_SQL,
         "count-min sketch (d=4, w=64): per-user estimates >= true "
         "counts, 256-cell table, broadcast probe — integer-exact",
+    ),
+    "stream_hist_merge": Query(
+        q_stream_hist_merge, _HIST_STREAM_SQL,
+        "streaming histogram deposit: per-epoch (role, bin) partials "
+        "SUM-merged through the exactly-once sink under a batch-0 "
+        "replay — the marker skip is load-bearing (sum is not "
+        "idempotent); merged p50/p95 == batch formula",
     ),
     "events_hist_quantiles": Query(
         q_events_hist_quantiles, _HIST_SQL,
