@@ -315,6 +315,87 @@ JOIN q50 ON n.event_type = q50.event_type AND q50.rn = 1
 JOIN q95 ON n.event_type = q95.event_type AND q95.rn = 1"""
 
 
+def q_stream_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed sketch: approximate distinct CONVERSATIONS PER HOUR
+    computed in the stream — the canonical streaming-analytics shape
+    ("distinct users per window") that an exact COUNT(DISTINCT) makes
+    unbounded (per-window distinct state grows with cardinality,
+    which is why Spark's own streaming dropDuplicates+window chain is
+    the expensive path). Each micro-batch deposits per-(hour, bucket)
+    register partials keyed by epoch; the read side max-merges across
+    epochs and estimates per hour. The feed replays batch 0 AS A NEW
+    FILE (fresh batch id — the at-least-once upstream case, no marker
+    to save us) and the output is still exact-vs-oracle because
+    max-merge is idempotent: the algebra, not the protocol, absorbs
+    the duplicate. Complements stream_hist_merge, whose sum partials
+    need the protocol. Register state is ≤256 rows per hour — at
+    10^12 turns the per-window sketch is constant-size where exact
+    distinct state is O(conversations)."""
+    import os
+    import uuid
+
+    from dstream_spark.sinks.merge import MergeSink
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("whll_feed")
+    table = _scratch("whll_table")
+    ckpt = _scratch("whll_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, replay_batch0=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    sink = MergeSink(
+        table,
+        keys=("w_start", "bucket", "epoch"),
+        partition_key="bucket",
+        order_cols=("w_start", "bucket"),
+        n_partitions=4,
+    )
+
+    def deposit(batch_df: DataFrame, batch_id: int) -> None:
+        hourly = batch_df.withColumn("w_start", F.date_trunc("hour", F.col("ts")))
+        regs = hll_registers(hourly, ["w_start"], "conv_id").withColumn(
+            "epoch", F.lit(int(batch_id)).cast("long")
+        )
+        sink.process_batch(regs, batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(deposit)
+        .option("checkpointLocation", os.path.join(ckpt, f"q_{uuid.uuid4().hex[:8]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        sink.read_table(spark)
+        .groupBy("w_start", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate(merged, ["w_start"])
+    ex = (
+        _transcripts(spark, sf_dir)
+        .withColumn("w_start", F.date_trunc("hour", F.col("ts")))
+        .groupBy("w_start")
+        .agg(F.countDistinct("conv_id").alias("exact_distinct"))
+    )
+    return est.join(ex, "w_start").select("w_start", "est_distinct", "exact_distinct")
+
+
+_WINDOW_HLL_SQL = _t_sql(f"""
+, h AS (SELECT date_trunc('hour', ts) AS w_start, md5(conv_id) AS _h FROM transcripts)
+, b AS (SELECT w_start, CAST({hex_pair_expr('_h')} AS INT) AS bucket,
+               CAST({_rho('_h')} AS INT) AS rho FROM h)
+, regs AS (SELECT w_start, bucket, MAX(rho) AS r FROM b GROUP BY w_start, bucket)
+, agg AS (SELECT w_start, COUNT(*) AS n,
+                 SUM(CAST(power(2.0, 63 - r) AS DECIMAL(38,0))) AS s_scaled
+          FROM regs GROUP BY w_start)
+, ex AS (SELECT date_trunc('hour', ts) AS w_start,
+                CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_distinct
+         FROM transcripts GROUP BY 1)
+SELECT agg.w_start AS w_start, {HLL_EST_EXPR} AS est_distinct, ex.exact_distinct
+FROM agg JOIN ex ON agg.w_start = ex.w_start""")
+
+
 # batch twin of the streaming histogram deposit: same pinned bounds
 # (lo=0, span=32), same bin/interpolation formulas — partials summed
 # per (role, bin) across epochs == one pass over the whole corpus
@@ -370,6 +451,13 @@ SKETCH_QUERIES: dict[str, Query] = {
         q_events_cms_counts, _CMS_SQL,
         "count-min sketch (d=4, w=64): per-user estimates >= true "
         "counts, 256-cell table, broadcast probe — integer-exact",
+    ),
+    "stream_window_hll": Query(
+        q_stream_window_hll, _WINDOW_HLL_SQL,
+        "windowed sketch: per-hour HLL distinct conversations merged "
+        "across micro-batch epochs; feed-level replay (fresh batch id) "
+        "absorbed by max-merge idempotence — the algebra-borne "
+        "at-least-once case",
     ),
     "stream_hist_merge": Query(
         q_stream_hist_merge, _HIST_STREAM_SQL,
