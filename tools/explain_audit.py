@@ -167,6 +167,32 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!SortMergeJoin", "UNBOUNDED Kleene runs WITHOUT a self-join: run length is a count delta between consecutive non-B turns"),
         ("!CartesianProduct", "no pair blowup for arbitrarily long runs"),
     ],
+    "cep_alternation": [
+        ("Window", "alternation is the same lead() scan with an IN predicate — no extra pass"),
+        ("!SinglePartition", "window partitioned by conv_id"),
+        ("!SortMergeJoin", "no self-join for the (B|C) branch"),
+        ("!CartesianProduct", "no pair blowup"),
+    ],
+    "tool_temporal_enrich": [
+        ("BroadcastHashJoin", "point-in-time lookup broadcasts the versioned dimension with the validity interval as residual"),
+        ("!CartesianProduct", "the range predicate rides the broadcast equi-join on tool, never a cross product of facts x versions"),
+        ("!SortMergeJoin", "no big-big shuffle join for a dimension lookup"),
+    ],
+    "conv_hll_distinct": [
+        ("HashAggregate", "register build is a partial-aggregated groupBy (map-side combine to <=256 rows/group)"),
+        ("codegen id", "md5/rho scalar pipeline is codegen'd"),
+        ("!CartesianProduct", "sketch build never pairs rows"),
+    ],
+    "events_cms_counts": [
+        ("BroadcastHashJoin", "the 256-cell sketch table broadcasts into the probe join"),
+        ("HashAggregate", "cell deposit is a partial-aggregated sum"),
+        ("!CartesianProduct", "depth fan-out is an explode, not a cross join"),
+    ],
+    "events_hist_quantiles": [
+        ("Window", "rank scan is a bounded window over the <=128-row bin table, never a sort of raw values"),
+        ("HashAggregate", "bin deposit is a partial-aggregated count"),
+        ("!CartesianProduct", "quantile join-back is keyed on the group"),
+    ],
 }
 
 
