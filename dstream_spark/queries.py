@@ -1249,10 +1249,12 @@ WHERE t.tool IS NOT NULL"""
 from dstream_spark.queries_ext import EXT_QUERIES  # noqa: E402
 from dstream_spark.queries_llm import LLM_QUERIES  # noqa: E402
 from dstream_spark.queries_sketch import SKETCH_QUERIES  # noqa: E402
+from dstream_spark.queries_tpch import TPCH_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(LLM_QUERIES)
 QUERIES.update(SKETCH_QUERIES)
+QUERIES.update(TPCH_QUERIES)
 
 # Driver-gate prioritization: the per-round correctness gate samples a
 # subset of this registry in iteration order (window = 50), so entries

@@ -167,6 +167,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!SortMergeJoin", "UNBOUNDED Kleene runs WITHOUT a self-join: run length is a count delta between consecutive non-B turns"),
         ("!CartesianProduct", "no pair blowup for arbitrarily long runs"),
     ],
+    "tpch_q8": [
+        ("BroadcastHashJoin", "all five dimensions broadcast into the lineitem fact"),
+        ("!CartesianProduct", "no unkeyed join in the six-table chain"),
+        ("HashAggregate", "CASE-sum share is a partial-aggregated rollup"),
+    ],
+    "tpch_q13": [
+        ("LeftOuter", "exclusion predicate lives in the join condition, preserving zero-order customers"),
+        ("HashAggregate", "double aggregation (per-customer, then distribution)"),
+        ("!CartesianProduct", "keyed outer join"),
+    ],
+    "tpch_q21": [
+        ("LeftSemi", "EXISTS as a semi join on l_orderkey"),
+        ("LeftAnti", "NOT EXISTS as an anti join on l_orderkey"),
+        ("!CartesianProduct", "the supplier inequality rides the order-key equi join, never a cross product"),
+    ],
     "cep_alternation": [
         ("Window", "alternation is the same lead() scan with an IN predicate — no extra pass"),
         ("!SinglePartition", "window partitioned by conv_id"),
