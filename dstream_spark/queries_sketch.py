@@ -213,6 +213,51 @@ def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(est, "user_id").select("user_id", "n_events", "cms_est")
 
 
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (freq*k >= total, k=150) with a CMS-pruned
+    shuffle — the skew-DETECTION primitive that feeds salted_agg's
+    hot-key handling. The sketch prune is correctness-TRANSPARENT:
+    CMS never underestimates, so candidates surviving the estimate
+    filter are a SUPERSET of the true heavy hitters, and the exact
+    verify runs only on them — the oracle is plain GROUP BY/HAVING
+    with no sketch in sight. At 10^12 events this is the point: the
+    long tail deposits into 256 cells map-side and is never shuffled
+    by key; only the (tiny) survivor set pays an exact count. The
+    threshold compares in integer math (n*k >= total), no double
+    division anywhere."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    k = 150
+    table = cms_build(ev, "user_id")  # raw deposit: 256 cells, no key shuffle
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    cand = ev.select("user_id").distinct()
+    survivors = (
+        cms_lookup(cand, table, "user_id")
+        .join(F.broadcast(total))
+        .filter(F.col("cms_est") * k >= F.col("n_total"))
+        .select("user_id")
+    )
+    exact = (
+        ev.join(F.broadcast(survivors), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("n_events") * k >= F.col("n_total"))
+        .select("user_id", "n_events")
+    )
+
+
+_HEAVY_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events
+)
+SELECT user_id, n_events FROM c, t WHERE n_events * 150 >= n_total"""
+
+
 def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable QUANTILE sketch: per-event-type p50/p95 estimated
     from a {HIST_BINS}-bin equi-width histogram with in-bin linear
@@ -451,6 +496,12 @@ SKETCH_QUERIES: dict[str, Query] = {
         q_events_cms_counts, _CMS_SQL,
         "count-min sketch (d=4, w=64): per-user estimates >= true "
         "counts, 256-cell table, broadcast probe — integer-exact",
+    ),
+    "events_heavy_hitters": Query(
+        q_events_heavy_hitters, _HEAVY_SQL,
+        "exact heavy hitters with a CMS-pruned shuffle: overestimate "
+        "=> candidate superset => exact verify on survivors only; "
+        "integer threshold math, plain GROUP BY/HAVING oracle",
     ),
     "stream_window_hll": Query(
         q_stream_window_hll, _WINDOW_HLL_SQL,
