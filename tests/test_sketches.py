@@ -130,6 +130,26 @@ def test_hist_quantile_deterministic_across_partitionings(spark):
     assert q1 == q2  # bit-identical: integer cnt/cum, scalar double math
 
 
+def test_cms_prune_never_drops_a_true_heavy_hitter(spark):
+    """The heavy-hitters contract: because CMS never underestimates,
+    filtering candidates by the ESTIMATE keeps every key whose TRUE
+    count clears the threshold — the prune is correctness-transparent
+    and only ever lets extra candidates through to the exact verify.
+    Adversarial shape: one hot key among many colliding cold keys."""
+    df = spark.range(2_000).select(
+        F.when(F.col("id") < 500, F.lit(9999)).otherwise(F.col("id")).alias("k")
+    )
+    truth = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    table = cms_build(df, "k")
+    est = cms_lookup(truth, table, "k")
+    j = truth.join(est, "k")
+    threshold = 100  # true heavy hitter: k=9999 with 500 rows
+    dropped = j.filter(
+        (F.col("n") >= threshold) & (F.col("cms_est") < threshold)
+    ).count()
+    assert dropped == 0
+
+
 def test_cms_merge_of_partials_equals_whole(spark):
     """cms(A∪B) == cellwise SUM of cms(A) + cms(B) — the mergeable-
     sketch contract for the streaming deposit path."""
