@@ -243,6 +243,62 @@ def cms_build(
     return cell.groupBy("i", "bucket").agg(F.sum("_w").alias("cnt"))
 
 
+def cms_build_raw(df: DataFrame, key_col: str) -> DataFrame:
+    """Count-min table built WITHOUT any per-key shuffle: every row
+    deposits weight 1 into its d cells and the only exchange is the
+    (i, bucket) partial aggregate — ≤d*w rows per map task regardless
+    of input size OR key cardinality. This is the 10^12-row form:
+    `cms_build` pre-aggregates per key first (cheaper when keys repeat
+    heavily and a key shuffle is acceptable); this one never sees the
+    key space at all."""
+    rows = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i"),
+    ).select(
+        "i",
+        F.md5(F.concat(F.col("_k"), F.lit(":"), F.col("i").cast("string"))).alias("_h"),
+    )
+    cell = rows.select(
+        "i", (F.expr(hex_pair_expr("_h")) % CMS_WIDTH).cast("int").alias("bucket")
+    )
+    return cell.groupBy("i", "bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cms_probe_rows(df: DataFrame, key_col: str, table: DataFrame) -> DataFrame:
+    """Per-ROW CMS estimate with NO shuffle of ``df``: the d depth
+    slices of the (256-cell) table broadcast into d map-side hash
+    joins on the row's bucket columns; cms_est = least over depths.
+    Unlike `cms_lookup` (which groups per distinct key — a key
+    shuffle), this annotates rows in place, so a threshold filter on
+    the estimate can drop the long tail BEFORE any exchange sees it."""
+    hashed = df.select(
+        "*",
+        *[
+            F.md5(
+                F.concat(F.col(key_col).cast("string"), F.lit(":"), F.lit(str(i)))
+            ).alias(f"_h{i}")
+            for i in range(CMS_DEPTH)
+        ],
+    )
+    bucketed = hashed.select(
+        *df.columns,
+        *[
+            (F.expr(hex_pair_expr(f"_h{i}")) % CMS_WIDTH).cast("int").alias(f"_b{i}")
+            for i in range(CMS_DEPTH)
+        ],
+    )
+    out = bucketed
+    for i in range(CMS_DEPTH):
+        slice_i = table.filter(F.col("i") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        out = out.join(F.broadcast(slice_i), f"_b{i}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"_c{i}"), F.lit(0)) for i in range(CMS_DEPTH)]
+    ).alias("cms_est")
+    return out.select(*df.columns, est)
+
+
 def cms_lookup(keys: DataFrame, table: DataFrame, key_col: str) -> DataFrame:
     """Point-query the sketch for each key in ``keys``: the estimate is
     MIN over the d cells the key hashes to — an overestimate of the

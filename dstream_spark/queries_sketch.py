@@ -23,7 +23,9 @@ from dstream_spark.functions.sketches import (
     HIST_BINS,
     HLL_EST_EXPR,
     cms_build,
+    cms_build_raw,
     cms_lookup,
+    cms_probe_rows,
     hex_pair_expr,
     hist_bins,
     hist_quantile_expr,
@@ -220,22 +222,25 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS never underestimates, so candidates surviving the estimate
     filter are a SUPERSET of the true heavy hitters, and the exact
     verify runs only on them — the oracle is plain GROUP BY/HAVING
-    with no sketch in sight. At 10^12 events this is the point: the
-    long tail deposits into 256 cells map-side and is never shuffled
-    by key; only the (tiny) survivor set pays an exact count. The
-    threshold compares in integer math (n*k >= total), no double
-    division anywhere."""
+    with no sketch in sight. At 10^12 events this is the point: NO
+    stage ever shuffles the key space — the sketch builds via
+    cms_build_raw (the only exchange is the 256-cell partial agg),
+    every row probes the broadcast table map-side (cms_probe_rows),
+    the threshold filter drops the long tail BEFORE the first
+    key-bearing exchange, and only survivor rows reach a distinct /
+    exact count. The threshold compares in integer math
+    (n*k >= total), no double division anywhere."""
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events")
     k = 150
-    table = cms_build(ev, "user_id")  # raw deposit: 256 cells, no key shuffle
+    table = cms_build_raw(ev, "user_id")  # 256-cell shuffle, key space unseen
     total = ev.agg(F.count(F.lit(1)).alias("n_total"))
-    cand = ev.select("user_id").distinct()
     survivors = (
-        cms_lookup(cand, table, "user_id")
+        cms_probe_rows(ev.select("user_id"), "user_id", table)
         .join(F.broadcast(total))
         .filter(F.col("cms_est") * k >= F.col("n_total"))
         .select("user_id")
+        .distinct()
     )
     exact = (
         ev.join(F.broadcast(survivors), "user_id", "left_semi")

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 from dstream_spark.functions.sketches import (
     HIST_BINS,
     cms_build,
+    cms_build_raw,
     cms_lookup,
+    cms_probe_rows,
     hist_bins,
     hist_quantiles,
     hll_estimate,
@@ -148,6 +150,22 @@ def test_cms_prune_never_drops_a_true_heavy_hitter(spark):
         (F.col("n") >= threshold) & (F.col("cms_est") < threshold)
     ).count()
     assert dropped == 0
+
+
+def test_cms_probe_rows_matches_cms_lookup_and_raw_build_matches_weighted(spark):
+    """The shuffle-free pair (cms_build_raw + cms_probe_rows) computes
+    the SAME cells and the SAME per-key estimates as the key-shuffling
+    pair (cms_build + cms_lookup) — the scale path is a plan change,
+    not an algorithm change."""
+    df = spark.range(800).select((F.col("id") % 23).alias("k"))
+    t_raw, t_agg = cms_build_raw(df, "k"), cms_build(df, "k")
+    assert t_raw.exceptAll(t_agg).count() == 0
+    assert t_agg.exceptAll(t_raw).count() == 0
+    keys = df.select("k").distinct()
+    via_lookup = cms_lookup(keys, t_raw, "k")
+    via_probe = cms_probe_rows(keys, "k", t_raw)
+    assert via_lookup.exceptAll(via_probe).count() == 0
+    assert via_probe.exceptAll(via_lookup).count() == 0
 
 
 def test_cms_merge_of_partials_equals_whole(spark):

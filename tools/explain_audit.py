@@ -167,6 +167,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!SortMergeJoin", "UNBOUNDED Kleene runs WITHOUT a self-join: run length is a count delta between consecutive non-B turns"),
         ("!CartesianProduct", "no pair blowup for arbitrarily long runs"),
     ],
+    "events_heavy_hitters": [
+        ("BroadcastHashJoin", "the 256-cell sketch slices broadcast into per-row map-side probes"),
+        ("!SortMergeJoin", "no key-space shuffle before the threshold filter drops the long tail"),
+        ("HashAggregate", "raw cell deposit and the survivor exact count are partial-aggregated"),
+    ],
     "tpch_q8": [
         ("BroadcastHashJoin", "all five dimensions broadcast into the lineitem fact"),
         ("!CartesianProduct", "no unkeyed join in the six-table chain"),
