@@ -596,7 +596,70 @@ def _pack_greedy_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pack_bpe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_docs_pack_bpe(spark, sf_dir, n_shards=PACK_SHARDS)
 
+def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF — the canonical text-
+    weighting shape: token explode → per-(doc, term) tf → per-term
+    document frequency DERIVED FROM THE TF TABLE (no second corpus
+    scan) → idf join → windowed top-k partitioned by doc. Exactness:
+    tf/df/n_docs are exact BIGINTs, ln is correctly-rounded on both
+    engines (the HLL precedent), the score rounds to 4 places and the
+    rank orders on the ROUNDED value with a term tiebreak, so the
+    top-3 set is deterministic cross-engine. At 10^12 tokens: two
+    keyed exchanges (tf, df) + one per-doc window; df is |vocab| rows
+    — broadcastable when the vocabulary is bounded."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.expr("round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4)"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+LLM_ORACLES_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tf.term AS term,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3"""
+
+
 LLM_QUERIES: dict[str, Query] = {
+    "docs_tfidf": Query(
+        q_docs_tfidf, LLM_ORACLES_TFIDF,
+        "top-3 TF-IDF terms per doc: tf/df exact BIGINTs, df derived "
+        "from the tf table, rank on the rounded score with term "
+        "tiebreak; two keyed exchanges + per-doc window",
+    ),
     "docs_para_dedup": Query(
         q_docs_para_dedup, LLM_ORACLES["docs_para_dedup"],
         "sub-document (8-token paragraph) dedup: one shuffle on the "
