@@ -653,7 +653,115 @@ SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
 ) WHERE rn <= 3"""
 
 
+SAMPLE_K = 5  # docs kept per language
+
+# A-ES (exponential-sort / Efraimidis-Spirakis) key as SHARED SQL
+# text: u = 48 md5 bits mapped into (0,1) strictly (the +0.5 keeps it
+# off both endpoints), key = -ln(u) / weight. Smaller key == more
+# likely pick for larger weight; deterministic given doc_id, exact on
+# both engines (hex digits -> exact integer, one ln, one division).
+from dstream_spark.functions.sketches import hex_pair_expr as _hp  # noqa: E402
+
+
+def _aes_key_expr(hcol: str, wcol: str) -> str:
+    # leading CAST promotes the whole fold to BIGINT (Spark's INT
+    # arithmetic overflows at 2^31 under ANSI; DuckDB instr is
+    # already BIGINT — the cast is a no-op there)
+    v = f"((((CAST(({_hp(hcol, 1)}) AS BIGINT) * 256 + ({_hp(hcol, 3)})) * 256 + ({_hp(hcol, 5)})) * 256 "
+    v += f"+ ({_hp(hcol, 7)})) * 256 + ({_hp(hcol, 9)})) * 256 + ({_hp(hcol, 11)})"
+    return f"-ln((({v}) + 0.5) / 281474976710656.0) / {wcol}"
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED reservoir sample: SAMPLE_K docs per
+    language, inclusion probability proportional to n_chars — the
+    Efraimidis-Spirakis A-ES scheme with the randomness derived from
+    md5(doc_id), so the sample is stable under reruns, replication,
+    and partitioning (the property a distributed curation pipeline
+    needs; true rand() would re-draw per attempt). Scale shape: the
+    per-language top-k runs as a TWO-LEVEL tree — first a window over
+    (lang, salt-bucket%16) keeping k per shard, then the final window
+    over the ≤16k survivors — so no single task ever sorts a whole
+    language (the hot-partition trap quota_sample documents). Exact:
+    top-k of a group == top-k of the union of its shards' top-ks.
+    Oracle: the flat per-language rank over the same key formula."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents").filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id", "lang", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    ).select(
+        "doc_id", "lang", "n_chars",
+        F.expr(_aes_key_expr("_h", "n_chars")).alias("_key"),
+        (F.col("doc_id") % 16).cast("int").alias("_salt"),
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("_key").asc(), F.col("doc_id").asc()
+    )
+    shard_top = keyed.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= SAMPLE_K
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("_key").asc(), F.col("doc_id").asc())
+    return (
+        shard_top.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .select(
+            "lang", "doc_id", "n_chars",
+            F.round(F.col("_key"), 6).alias("samp_key"), "rn",
+        )
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         {_aes_key_expr("md5(CAST(doc_id AS VARCHAR))", "n_chars")} AS _key
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT lang, doc_id, n_chars, round(_key, 6) AS samp_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY _key ASC, doc_id ASC) AS INT) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, samp_key, rn FROM ranked WHERE rn <= {SAMPLE_K}"""
+
+
+# one SQL text, run verbatim by BOTH engines (Spark spark.sql ==
+# DuckDB): multi-dimensional aggregate over explicit GROUPING SETS —
+# per-type, per-user, and the grand total in ONE pass (Spark expands
+# to a single Expand + partial-aggregated HashAggregate, not three
+# scans)
+_GROUPING_SETS_SQL = """
+SELECT event_type, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())"""
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize: three
+    disjoint aggregation shapes (per event type, per user, grand
+    total) in one pass over the fact. The SQL text is shared verbatim
+    with the oracle; Catalyst plans one Expand + one partial-aggregated
+    exchange, so at 10^12 rows the fact is read once, not three
+    times."""
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 LLM_QUERIES: dict[str, Query] = {
+    "docs_weighted_sample": Query(
+        q_docs_weighted_sample, _WEIGHTED_SAMPLE_SQL,
+        "Efraimidis-Spirakis weighted reservoir sample (k per lang, "
+        "md5-derived randomness, stable under reruns); two-level "
+        "salted top-k so no task sorts a whole language",
+    ),
+    "events_grouping_sets": Query(
+        q_events_grouping_sets, _GROUPING_SETS_SQL,
+        "GROUPING SETS in one pass (Expand + partial agg): per-type, "
+        "per-user, grand total; SQL text shared verbatim with the oracle",
+    ),
     "docs_tfidf": Query(
         q_docs_tfidf, LLM_ORACLES_TFIDF,
         "top-3 TF-IDF terms per doc: tf/df exact BIGINTs, df derived "
