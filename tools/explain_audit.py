@@ -167,6 +167,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!SortMergeJoin", "UNBOUNDED Kleene runs WITHOUT a self-join: run length is a count delta between consecutive non-B turns"),
         ("!CartesianProduct", "no pair blowup for arbitrarily long runs"),
     ],
+    "docs_weighted_sample": [
+        ("Window", "two-level salted top-k: shard window then survivor window"),
+        ("!SinglePartition", "neither window sorts a whole language in one task"),
+        ("!CartesianProduct", "sampling is a projection + windows, no join blowup"),
+    ],
+    "events_grouping_sets": [
+        ("Expand", "GROUPING SETS lowers to one Expand over a single scan — the fact is read once"),
+        ("HashAggregate", "partial-aggregated across the exchange"),
+        ("!Union", "not three scans unioned"),
+    ],
     "events_heavy_hitters": [
         ("BroadcastHashJoin", "the 256-cell sketch slices broadcast into per-row map-side probes"),
         ("!SortMergeJoin", "no key-space shuffle before the threshold filter drops the long tail"),
