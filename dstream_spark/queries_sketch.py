@@ -446,6 +446,104 @@ SELECT agg.w_start AS w_start, {HLL_EST_EXPR} AS est_distinct, ex.exact_distinct
 FROM agg JOIN ex ON agg.w_start = ex.w_start""")
 
 
+def q_stream_window_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed additive sketch: p50/p95 turn-text length PER HOUR
+    computed in the stream — the observability shape ("latency
+    percentiles per minute") that exact per-window percentiles make
+    unbounded (they hold every raw value per open window). Completes
+    the 2x2 sketch matrix: {global, windowed} x {max-merge,
+    sum-merge} — stream_hll_merge / stream_window_hll cover the
+    idempotent max column, stream_hist_merge covers global sum, and
+    this is windowed sum: per-(hour, bin) partials keyed by epoch,
+    SUM-merged at read, epoch 0 crash-replayed at its ORIGINAL id so
+    the commit-marker skip (not the algebra) absorbs it. State per
+    hour is ≤HIST_BINS rows whatever the traffic."""
+    import os
+    import uuid
+
+    from dstream_spark.sinks.merge import MergeSink
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("whist_feed")
+    table = _scratch("whist_table")
+    ckpt = _scratch("whist_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    sink = MergeSink(
+        table,
+        keys=("w_start", "bin", "epoch"),
+        partition_key="bin",
+        order_cols=("w_start", "bin"),
+        n_partitions=4,
+    )
+
+    def partial(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        vals = batch_df.withColumn(
+            "w_start", F.date_trunc("hour", F.col("ts"))
+        ).withColumn("tlen", F.length("text").cast("double"))
+        return hist_bins(vals, ["w_start"], "tlen", 0.0, 32.0).withColumn(
+            "epoch", F.lit(int(batch_id)).cast("long")
+        )
+
+    def deposit(batch_df: DataFrame, batch_id: int) -> None:
+        sink.process_batch(partial(batch_df, batch_id), batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(deposit)
+        .option("checkpointLocation", os.path.join(ckpt, f"q_{uuid.uuid4().hex[:8]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    committed_before = sink.committed_batches()
+    sink.process_batch(
+        partial(spark.read.parquet(os.path.join(feed, "batch_00000.parquet")), 0), 0
+    )
+    if sink.committed_batches() != committed_before:
+        raise RuntimeError("same-epoch replay re-committed a sum partial")
+
+    merged = (
+        sink.read_table(spark)
+        .groupBy("w_start", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est = hist_quantiles(merged, ["w_start"], 0.0, 32.0, (0.5, 0.95))
+    n = merged.groupBy("w_start").agg(F.sum("cnt").alias("n_turns"))
+    return n.join(est, "w_start").select("w_start", "n_turns", "est_p50", "est_p95")
+
+
+_WINDOW_HIST_SQL = _t_sql(f"""
+, bins AS (
+  SELECT date_trunc('hour', ts) AS w_start,
+         least({HIST_BINS - 1},
+               CAST(FLOOR((length(text) - 0.0) * {HIST_BINS} / 32.0) AS INT)) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM transcripts GROUP BY 1, 2
+), cum AS (
+  SELECT w_start, bin, cnt, 0.0 AS lo, 32.0 AS span,
+         SUM(cnt) OVER (PARTITION BY w_start ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY w_start) AS n_total
+  FROM bins
+), q50 AS (
+  SELECT w_start, {hist_quantile_expr('0.5')} AS est_p50,
+         ROW_NUMBER() OVER (PARTITION BY w_start ORDER BY bin) AS rn
+  FROM cum WHERE cum >= ceil(0.5 * n_total)
+), q95 AS (
+  SELECT w_start, {hist_quantile_expr('0.95')} AS est_p95,
+         ROW_NUMBER() OVER (PARTITION BY w_start ORDER BY bin) AS rn
+  FROM cum WHERE cum >= ceil(0.95 * n_total)
+), n AS (
+  SELECT w_start, CAST(SUM(cnt) AS BIGINT) AS n_turns FROM bins GROUP BY w_start
+)
+SELECT n.w_start, n.n_turns, q50.est_p50, q95.est_p95
+FROM n
+JOIN q50 ON n.w_start = q50.w_start AND q50.rn = 1
+JOIN q95 ON n.w_start = q95.w_start AND q95.rn = 1""")
+
+
 # batch twin of the streaming histogram deposit: same pinned bounds
 # (lo=0, span=32), same bin/interpolation formulas — partials summed
 # per (role, bin) across epochs == one pass over the whole corpus
@@ -514,6 +612,12 @@ SKETCH_QUERIES: dict[str, Query] = {
         "across micro-batch epochs; feed-level replay (fresh batch id) "
         "absorbed by max-merge idempotence — the algebra-borne "
         "at-least-once case",
+    ),
+    "stream_window_hist": Query(
+        q_stream_window_hist, _WINDOW_HIST_SQL,
+        "windowed additive sketch: per-hour p50/p95 from sum-merged "
+        "bin partials under an original-epoch crash-replay — the "
+        "windowed-sum cell of the sketch matrix",
     ),
     "stream_hist_merge": Query(
         q_stream_hist_merge, _HIST_STREAM_SQL,
