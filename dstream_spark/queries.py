@@ -97,6 +97,68 @@ def q_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def q_cdc_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC reconciliation / change audit: diff the materialized state
+    BEFORE a commit batch (v1 only) against the state AFTER commits
+    2-3 (edits on every 5th turn, deletes on every 7th, plus one
+    inserted per-conversation recap row) — the validation job a CDC
+    operator runs to answer "what exactly did this replication window
+    change". FULL OUTER join on the key, rows classified
+    added/deleted/changed; unchanged rows are filtered so the output
+    is bounded by CHURN, not table size. At 10^12 rows both sides
+    shuffle once on the same key (a single SMJ); bucketing both state
+    tables by key turns it into a co-located zipper merge. A turn
+    both edited and deleted (every 35th) must audit as deleted —
+    latest version wins before the diff, not after."""
+    t = _transcripts(spark, sf_dir)
+    v1 = t.withColumn("_commit_version", F.lit(1).cast("long")).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    v2 = (
+        t.filter(F.col("turn_idx") % 5 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [edited]")))
+        .withColumn("_commit_version", F.lit(2).cast("long"))
+        .withColumn("_change_type", F.lit("update"))
+    )
+    v3 = (
+        t.filter(F.col("turn_idx") % 7 == 0)
+        .withColumn("_commit_version", F.lit(3).cast("long"))
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    v3i = (
+        t.groupBy("conv_id")
+        .agg(F.max("ts").alias("ts"))
+        .select(
+            "conv_id",
+            F.lit(100000).cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.lit("session recap").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            "ts",
+            F.lit(3).cast("long").alias("_commit_version"),
+            F.lit("insert").alias("_change_type"),
+        )
+    )
+    new = cdc.apply_changes(v1.unionByName(v2).unionByName(v3).unionByName(v3i)).select(
+        "conv_id", "turn_idx", F.col("text").alias("new_text")
+    )
+    old = t.select("conv_id", "turn_idx", F.col("text").alias("old_text"))
+    j = old.join(new, ["conv_id", "turn_idx"], "full_outer")
+    change = (
+        F.when(F.col("old_text").isNull(), F.lit("added"))
+        .when(F.col("new_text").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("old_text").isNull()
+            | F.col("new_text").isNull()
+            | (F.col("old_text") != F.col("new_text"))
+        )
+        .select("conv_id", "turn_idx", change.alias("change"), "old_text", "new_text")
+    )
+
+
 def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per conversation: turn counts + agent
     turns (north-rule windowed aggregate; runs identically on the
@@ -699,6 +761,36 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM ranked WHERE rn = 1"""
 )
 SELECT conv_id, turn_idx, role, text, tool, ts FROM ranked WHERE rn = 1 AND op != 'delete'"""
     ),
+    "cdc_commit_audit": _t_sql(
+        """
+, feed AS (
+  SELECT conv_id, turn_idx, text, 1 AS v, 'insert' AS op FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, text || ' [edited]', 2 AS v, 'update' AS op
+  FROM transcripts WHERE turn_idx % 5 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, text, 3 AS v, 'delete' AS op
+  FROM transcripts WHERE turn_idx % 7 = 0
+  UNION ALL
+  SELECT conv_id, CAST(100000 AS INTEGER) AS turn_idx, 'session recap', 3 AS v, 'insert' AS op
+  FROM transcripts GROUP BY conv_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY v DESC) AS rn FROM feed
+), new AS (
+  SELECT conv_id, turn_idx, text AS new_text FROM ranked WHERE rn = 1 AND op != 'delete'
+), old AS (
+  SELECT conv_id, turn_idx, text AS old_text FROM transcripts
+)
+SELECT COALESCE(o.conv_id, n.conv_id) AS conv_id,
+       COALESCE(o.turn_idx, n.turn_idx) AS turn_idx,
+       CASE WHEN o.old_text IS NULL THEN 'added'
+            WHEN n.new_text IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change,
+       o.old_text, n.new_text
+FROM old o FULL OUTER JOIN new n
+  ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
+WHERE o.old_text IS NULL OR n.new_text IS NULL OR o.old_text <> n.new_text"""
+    ),
     "tumbling_counts": _t_sql(
         """
 SELECT date_trunc('hour', ts) AS w_start,
@@ -1117,6 +1209,12 @@ QUERIES: dict[str, Query] = {
     "cdc_dedup": Query(q_cdc_dedup, ORACLES["cdc_dedup"]),
     "cdc_latest_state": Query(q_cdc_latest_state, ORACLES["cdc_latest_state"]),
     "cdc_with_deletes": Query(q_cdc_with_deletes, ORACLES["cdc_with_deletes"]),
+    "cdc_commit_audit": Query(
+        q_cdc_commit_audit, ORACLES["cdc_commit_audit"],
+        "reconciliation diff of materialized state across a commit "
+        "window: full-outer key join classified added/deleted/changed, "
+        "output bounded by churn",
+    ),
     "tumbling_counts": Query(q_tumbling_counts, ORACLES["tumbling_counts"]),
     "sliding_counts": Query(q_sliding_counts, ORACLES["sliding_counts"]),
     "session_windows": Query(q_session_windows, ORACLES["session_windows"]),
