@@ -1859,6 +1859,125 @@ _LSH_BUCKETS_CTE = """planes AS (
 # referenced by BOTH the emb_kmeans_converged oracle and the trained-
 # IVF oracle (emb_ivf_trained_topk), which extends it with the final
 # centroid means + cell-restricted top-k
+PAGERANK_ROUNDS = 4  # must match the `p.it < 4` cap in the oracle
+PR_SCALE = 1_000_000_000  # rank micro-units
+
+
+def q_tool_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the tool-transition graph (edge
+    a→b per consecutive tool invocations within a conversation,
+    weighted by transition count) — the third iterative algorithm
+    next to connected components and k-means, and like them driven
+    with scalar-only driver reads and per-round materialization.
+    Determinism: ranks live in INTEGER micro-units (PR_SCALE = 1e9)
+    and every division floors — per-edge contribution
+    floor(rank*w/outw), damping floor(c*85/100) — so no float sum
+    order can matter; the cost is a truncation leak of < 1 unit per
+    edge per round (documented fixed-point PageRank, not the real-
+    valued one). Dangling mass (tools with no outgoing transition) is
+    dropped, standard for the sparse web-graph variant. One
+    partial-aggregated exchange per round, rank table = |tools| rows.
+    Oracle: a DuckDB recursive CTE carrying the packed rank list
+    through the same integer formulas (the kmeans pack/LATERAL
+    pattern)."""
+    import math
+
+    t = _transcripts(spark, sf_dir)
+    seq = t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool")
+    wnd = Window.partitionBy("conv_id").orderBy("turn_idx")
+    edges = _materialize(
+        seq.withColumn("dst", F.lead("tool").over(wnd))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("tool").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("w")),
+        "pr_edges",
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = _materialize(
+        edges.select(F.col("src").alias("tool"))
+        .union(edges.select(F.col("dst").alias("tool")))
+        .distinct(),
+        "pr_nodes",
+    )
+    n_nodes = nodes.count()  # the one driver scalar
+    rank0 = int(math.floor(PR_SCALE * 1.0 / n_nodes))
+    base = int(math.floor(0.15 * PR_SCALE / n_nodes))
+    rank = nodes.withColumn("rank", F.lit(rank0).cast("long"))
+    for _ in range(PAGERANK_ROUNDS):
+        contrib = (
+            rank.join(edges, rank.tool == edges.src)
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("tool"),
+                F.floor(F.col("rank") * F.col("w") * F.lit(1.0) / F.col("ow"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("tool")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = _materialize(
+            nodes.join(contrib, "tool", "left").select(
+                "tool",
+                (
+                    F.lit(base).cast("long")
+                    + F.floor(
+                        F.coalesce(F.col("contrib"), F.lit(0)) * F.lit(85.0) / F.lit(100.0)
+                    ).cast("long")
+                ).alias("rank"),
+            ),
+            "pr_rank",
+        )
+    return rank
+
+
+def _pagerank_sql() -> str:
+    from dstream_spark.fixtures.transcripts import TRANSCRIPTS_CTE
+
+    return f"""
+WITH RECURSIVE {TRANSCRIPTS_CTE}, seq AS (
+  SELECT conv_id, turn_idx, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+  FROM transcripts WHERE tool IS NOT NULL
+), w AS (
+  SELECT tool AS src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM w GROUP BY 1
+), nodes AS (
+  -- NOTE: under WITH RECURSIVE, DuckDB treats a TOP-LEVEL UNION in
+  -- any CTE as an anchor/step pair and iterates it (observed v1.0.0:
+  -- 5 nodes became 50); nesting the union below a DISTINCT avoids it
+  SELECT DISTINCT tool FROM (SELECT src AS tool FROM w UNION ALL SELECT dst FROM w)
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), pr(it, st) AS (
+  SELECT 0, (SELECT list(struct_pack(tool := nodes.tool,
+               rank := CAST(FLOOR({PR_SCALE}.0 / nn.n) AS BIGINT)))
+             FROM nodes CROSS JOIN nn)
+  UNION ALL
+  SELECT p.it + 1, nx.st
+  FROM pr p,
+  LATERAL (
+    WITH prev AS (
+      SELECT u.tool AS tool, u.rank AS rank FROM (SELECT unnest(p.st) AS u)
+    ), contrib AS (
+      SELECT w.dst AS tool,
+             CAST(SUM(CAST(FLOOR(prev.rank * w.w * 1.0 / o.ow) AS BIGINT)) AS BIGINT) AS c
+      FROM prev JOIN w ON prev.tool = w.src JOIN outw o ON w.src = o.src
+      GROUP BY w.dst
+    )
+    SELECT list(struct_pack(tool := n2.tool,
+             rank := CAST(FLOOR(0.15 * {PR_SCALE} / nn.n) AS BIGINT)
+                   + CAST(FLOOR(COALESCE(c.c, 0) * 85.0 / 100.0) AS BIGINT)))
+    FROM nodes n2 CROSS JOIN nn LEFT JOIN contrib c ON n2.tool = c.tool
+  ) AS nx(st)
+  WHERE p.it < {PAGERANK_ROUNDS}
+)
+SELECT u.tool AS tool, u.rank AS rank
+FROM (SELECT unnest(st) AS u FROM pr WHERE it = {PAGERANK_ROUNDS})"""
+
+
 _KMEANS_ASSIGN_CTE = """
 WITH RECURSIVE assign(iter, vec_id, c_id) AS (
   SELECT 0, vec_id, c_id FROM (
@@ -2892,6 +3011,13 @@ EXT_QUERIES: dict[str, Query] = {
         q_emb_kmeans_converged, EXT_ORACLES["emb_kmeans_converged"],
         "iterative k-means to a bounded fixpoint; scalar-only driver "
         "reads; oracle = DuckDB recursive CTE with packed-state steps",
+    ),
+    "tool_pagerank": Query(
+        q_tool_pagerank, _pagerank_sql(),
+        "fixed-point-integer PageRank over the weighted tool-"
+        "transition graph (4 rounds, floored divisions, no float-sum "
+        "order hazard); oracle = recursive CTE with the packed rank "
+        "list",
     ),
     "emb_ivf_trained_topk": Query(
         q_emb_ivf_trained_topk, EXT_ORACLES["emb_ivf_trained_topk"],
