@@ -167,6 +167,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!SortMergeJoin", "UNBOUNDED Kleene runs WITHOUT a self-join: run length is a count delta between consecutive non-B turns"),
         ("!CartesianProduct", "no pair blowup for arbitrarily long runs"),
     ],
+    "cdc_commit_audit": [
+        ("SortMergeJoin FullOuter", "reconciliation is ONE full-outer SMJ on the key, both sides shuffled once"),
+        ("!CartesianProduct", "keyed diff, never a cross product"),
+        ("Window", "latest-version-wins runs as a per-key window before the diff"),
+    ],
     "docs_weighted_sample": [
         ("Window", "two-level salted top-k: shard window then survivor window"),
         ("!SinglePartition", "neither window sorts a whole language in one task"),
