@@ -1148,6 +1148,12 @@ def _stream_inc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_inc_dedup(spark, sf_dir)
 
 
+def _stream_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_resume_identity
+
+    return stream_resume_identity(spark, sf_dir)
+
+
 def _stream_cursor_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_cursor_dedup_ttl
 
@@ -1265,6 +1271,12 @@ QUERIES: dict[str, Query] = {
     "stream_exactly_once": Query(
         _stream_exactly_once, ORACLES["relay_identity"],
         "change feed with replayed batch → MergeSink → no dups, no loss",
+    ),
+    "stream_resume_identity": Query(
+        _stream_resume_identity, ORACLES["relay_identity"],
+        "checkpoint resume end-to-end: drain half the feed, stop, land "
+        "the rest, restart on the SAME checkpoint — merged table == "
+        "identity (no loss across the stop, no dups across the restart)",
     ),
     "stream_cursor_dedup": Query(
         _stream_cursor, ORACLES["relay_identity"],

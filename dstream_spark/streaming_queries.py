@@ -186,6 +186,56 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def stream_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RESUME as a driver-gated oracle (D4, previously
+    pytest-only): the feed arrives in two waves — batches 0-1 are
+    drained to termination, the query STOPS, batches 2-3 land, and a
+    SECOND query starts against the SAME checkpointLocation and sink.
+    The file-source offsets in the checkpoint make the restart skip
+    the already-processed files; the commit markers make any overlap
+    idempotent. The merged table must equal the plain identity
+    projection — no loss across the stop (nothing dropped), no dups
+    across the restart (nothing re-applied). This is the reference's
+    resume-from-cdc_offsets contract (docs/capability-inventory.md:
+    179-187) driven end-to-end at the entry surface."""
+    import shutil
+
+    staging = _scratch("resume_staging")
+    feed = _scratch("resume_feed")
+    table = _scratch("resume_table")
+    ckpt = _scratch("resume_ckpt")
+    _write_feed(spark, sf_dir, staging, n_batches=4)
+    os.makedirs(feed, exist_ok=True)
+    sink = MergeSink(table, n_partitions=8)
+
+    def run_wave(batches: list[int]) -> None:
+        for b in batches:
+            name = f"batch_{b:05d}.parquet"
+            shutil.copy2(os.path.join(staging, name), os.path.join(feed, name))
+        pipe = Pipeline(
+            spark,
+            {
+                "name": f"resume_{uuid.uuid4().hex[:8]}",
+                "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+                "transforms": [],
+                "sink": {"type": "merge", "sink": sink},
+                "checkpoint_dir": os.path.join(ckpt, "q"),  # SAME for both waves
+                "trigger": {"availableNow": True},
+            },
+        )
+        pipe.init()
+        q = pipe.run()
+        q.awaitTermination()
+        pipe.stop()
+
+    run_wave([0, 1])
+    committed_mid = sink.committed_batches()
+    run_wave([2, 3])
+    if len(sink.committed_batches()) <= len(committed_mid):
+        raise RuntimeError("resume processed no new batches")
+    return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL CDC OperationType surface THROUGH the streaming sink:
     a change feed of three commits (v1 inserts, v2 updates every 5th
