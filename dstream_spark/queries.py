@@ -1154,6 +1154,12 @@ def _stream_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_resume_identity(spark, sf_dir)
 
 
+def _stream_monitor_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_monitor_tables
+
+    return stream_monitor_tables(spark, sf_dir)
+
+
 def _stream_cursor_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_cursor_dedup_ttl
 
@@ -1271,6 +1277,20 @@ QUERIES: dict[str, Query] = {
     "stream_exactly_once": Query(
         _stream_exactly_once, ORACLES["relay_identity"],
         "change feed with replayed batch → MergeSink → no dups, no loss",
+    ),
+    "stream_monitor_tables": Query(
+        _stream_monitor_tables,
+        _t_sql(
+            """
+SELECT conv_id, turn_idx, role, text, tool, ts, 'turns' AS src_table
+FROM transcripts
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts, 'toolcalls' AS src_table
+FROM transcripts WHERE tool IS NOT NULL"""
+        ),
+        "multi-table Monitor (S2) end-to-end: two independent pipelines "
+        "(own feed/checkpoint/lock/sink) on one session; tagged union "
+        "== both batch projections, no loss or dups on either table",
     ),
     "stream_resume_identity": Query(
         _stream_resume_identity, ORACLES["relay_identity"],

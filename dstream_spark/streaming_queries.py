@@ -236,6 +236,70 @@ def stream_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def stream_monitor_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-TABLE MONITOR (S2) at the entry surface: two tables —
+    'turns' (the full transcript feed) and 'toolcalls' (the tool-
+    invocation rows only, a different feed directory) — run as two
+    INDEPENDENT pipelines under one Monitor: own source path, own
+    checkpoint (offsets + lock), own exactly-once sink, concurrent on
+    one session. The result is the union of both sink tables tagged by
+    table name, and must equal the batch oracle computing both
+    projections — proving neither table lost/duplicated rows while
+    sharing a session. This is the reference's one-process-many-
+    tables router (docs/capability-inventory.md:130-135) driven
+    end-to-end, where the pytest suite covers the failure-isolation
+    half (test_monitor_isolates_table_failure)."""
+    from dstream_spark.streaming.monitor import Monitor
+
+    feed_a = _scratch("mon_feed_a")
+    feed_b = _scratch("mon_feed_b")
+    table_a = _scratch("mon_table_a")
+    table_b = _scratch("mon_table_b")
+    ckpt = _scratch("mon_ckpt")
+    _write_feed(spark, sf_dir, feed_a, n_batches=3)
+    # second table: the tool-invocation subfeed, landed separately (its
+    # own change stream, as the reference's per-table topics would be)
+    t = transcripts_from_events(spark, sf_dir).filter(F.col("tool").isNotNull())
+    os.makedirs(feed_b, exist_ok=True)
+    (
+        t.withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(0).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(feed_b)
+    )
+    sink_a = MergeSink(table_a, n_partitions=4)
+    sink_b = MergeSink(table_b, n_partitions=4)
+    confs = [
+        {
+            "name": f"mon_a_{uuid.uuid4().hex[:8]}",
+            "source": {"type": "changefeed", "path": feed_a, "max_files_per_trigger": 1},
+            "transforms": [],
+            "sink": {"type": "merge", "sink": sink_a},
+            "checkpoint_dir": os.path.join(ckpt, "a"),
+            "trigger": {"availableNow": True},
+        },
+        {
+            "name": f"mon_b_{uuid.uuid4().hex[:8]}",
+            "source": {"type": "changefeed", "path": feed_b, "max_files_per_trigger": 1},
+            "transforms": [],
+            "sink": {"type": "merge", "sink": sink_b},
+            "checkpoint_dir": os.path.join(ckpt, "b"),
+            "trigger": {"availableNow": True},
+        },
+    ]
+    mon = Monitor(spark, confs)
+    mon.init_all()
+    mon.run_all()
+    mon.await_all()
+    for p in mon.pipelines.values():
+        p.stop()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = sink_a.read_table(spark).select(*cols).withColumn("src_table", F.lit("turns"))
+    b = sink_b.read_table(spark).select(*cols).withColumn("src_table", F.lit("toolcalls"))
+    return a.unionByName(b)
+
+
 def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL CDC OperationType surface THROUGH the streaming sink:
     a change feed of three commits (v1 inserts, v2 updates every 5th
