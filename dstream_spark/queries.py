@@ -1160,6 +1160,12 @@ def _stream_monitor_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_monitor_tables(spark, sf_dir)
 
 
+def _stream_adaptive_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_adaptive_identity
+
+    return stream_adaptive_identity(spark, sf_dir)
+
+
 def _stream_cursor_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_cursor_dedup_ttl
 
@@ -1291,6 +1297,12 @@ FROM transcripts WHERE tool IS NOT NULL"""
         "multi-table Monitor (S2) end-to-end: two independent pipelines "
         "(own feed/checkpoint/lock/sink) on one session; tagged union "
         "== both batch projections, no loss or dups on either table",
+    ),
+    "stream_adaptive_identity": Query(
+        _stream_adaptive_identity, ORACLES["relay_identity"],
+        "dynamic batch sizing (S4) end-to-end: wave 1 at trigger=1, "
+        "controller resizes from observed rows/file, wave 2 at the new "
+        "trigger — sizing policy never changes WHAT is delivered",
     ),
     "stream_resume_identity": Query(
         _stream_resume_identity, ORACLES["relay_identity"],

@@ -300,6 +300,61 @@ def stream_monitor_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def stream_adaptive_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC BATCH SIZING (S4) at the entry surface: the feed lands
+    in two waves; the first drains at max_files_per_trigger=1, then
+    the BatchSizeController resizes the trigger from the observed
+    rows/file (the reference's hourly row-size resample,
+    docs/capability-inventory.md:136), and the second wave drains at
+    the RESIZED trigger through the same checkpoint and sink. The
+    output contract is the point: whatever sizing the controller
+    picks, the merged table must equal the identity projection —
+    batch-size policy can never change WHAT is delivered, only how
+    it's chunked. The entry raises if the controller failed to resize
+    (the adaptive half) or the second wave processed nothing (the
+    resume half)."""
+    import shutil
+
+    from dstream_spark.streaming.adaptive import BatchSizeController
+
+    staging = _scratch("adap_staging")
+    feed = _scratch("adap_feed")
+    table = _scratch("adap_table")
+    ckpt = _scratch("adap_ckpt")
+    _write_feed(spark, sf_dir, staging, n_batches=4)
+    os.makedirs(feed, exist_ok=True)
+    sink = MergeSink(table, n_partitions=8)
+    pipe = Pipeline(
+        spark,
+        {
+            "name": f"adap_{uuid.uuid4().hex[:8]}",
+            "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+            "transforms": [],
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": os.path.join(ckpt, "q"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    # target ~2 waves' rows per batch → the controller must raise the
+    # trigger above 1 after observing wave-1 rows/file
+    controller = BatchSizeController(target_rows=10_000_000, min_files=1, max_files=8)
+    pipe.init()
+    for b in (0, 1):
+        name = f"batch_{b:05d}.parquet"
+        shutil.copy2(os.path.join(staging, name), os.path.join(feed, name))
+    hist1 = pipe.run_adaptive(controller, segments=1)
+    if hist1[0]["next_files_per_trigger"] <= 1:
+        raise RuntimeError("controller did not resize the trigger")
+    committed_mid = sink.committed_batches()
+    for b in (2, 3):
+        name = f"batch_{b:05d}.parquet"
+        shutil.copy2(os.path.join(staging, name), os.path.join(feed, name))
+    pipe.run_adaptive(controller, segments=1)
+    if len(sink.committed_batches()) <= len(committed_mid):
+        raise RuntimeError("resized segment processed no new batches")
+    return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL CDC OperationType surface THROUGH the streaming sink:
     a change feed of three commits (v1 inserts, v2 updates every 5th
