@@ -3,7 +3,7 @@
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
                  training-data-pipeline ops, ALL with DuckDB oracles,
-                 incl. SEVENTEEN real Structured Streaming runs
+                 incl. THIRTY-THREE real Structured Streaming runs
                  (tumbling/sliding aggs, exactly-once sink under
                  replay incl. the full insert/update/DELETE envelope
                  replayed at its ORIGINAL epoch id, stateful cursor,
@@ -16,7 +16,12 @@ queries()      — every implemented operator from SURVEY.md §2 + the
                  session windows and hourly → daily window rollup)
                  plus the micro-batch-fed incremental LSH dedup
                  (inc_dedup_log: growing exactly-once band index under
-                 an original-epoch replay) checked against batch SQL
+                 an original-epoch replay), mergeable-sketch deposits
+                 (HLL max-merge global + per-hour, histogram sum-merge
+                 global + per-hour under original-epoch crash-replay),
+                 and driver-gated contract runs of checkpoint RESUME,
+                 the multi-table Monitor, and adaptive batch sizing —
+                 all checked against batch SQL
 oracle_sql()   — matching DuckDB SQL per query
 """
 
