@@ -167,6 +167,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!SortMergeJoin", "UNBOUNDED Kleene runs WITHOUT a self-join: run length is a count delta between consecutive non-B turns"),
         ("!CartesianProduct", "no pair blowup for arbitrarily long runs"),
     ],
+    "docs_tfidf": [
+        ("BroadcastHashJoin", "AQE broadcasts the vocab-sized df table into the tf join"),
+        ("WindowGroupLimit", "the rn<=3 filter is pushed INTO the window as a group limit (partial top-k before the final sort)"),
+        ("!CartesianProduct", "only the 1-row n_docs scalar rides a broadcast; no unkeyed pair join"),
+    ],
     "cdc_commit_audit": [
         ("SortMergeJoin FullOuter", "reconciliation is ONE full-outer SMJ on the key, both sides shuffled once"),
         ("!CartesianProduct", "keyed diff, never a cross product"),
