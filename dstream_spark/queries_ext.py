@@ -1859,6 +1859,54 @@ _LSH_BUCKETS_CTE = """planes AS (
 # referenced by BOTH the emb_kmeans_converged oracle and the trained-
 # IVF oracle (emb_ivf_trained_topk), which extends it with the final
 # centroid means + cell-restricted top-k
+SEG_WORDS = 8  # words per segment (the para-dedup granule)
+
+
+def q_turn_segments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) — the 1-row→n-rows SQL
+    surface, invoked through LATERAL: each turn's text explodes into
+    8-word segments with per-segment word counts. This completes the
+    Python-eval surface next to scalar pandas_udf, grouped-agg UDAF,
+    applyInPandas, mapInPandas, and applyInPandasWithState. HONEST
+    scale note: a row-at-a-time Python UDTF is the slow path — the
+    engine's production segmenter is the JVM split/slice pipeline
+    (docs_para_dedup uses it); this entry certifies the SURFACE
+    (registration, LATERAL join, multi-column yield, oracle parity),
+    not a hot-path recommendation."""
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx: int, seg_text: string, n_words: int")
+    class SegmentTurn:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, len(words), SEG_WORDS):
+                chunk = words[i : i + SEG_WORDS]
+                yield i // SEG_WORDS, " ".join(chunk), len(chunk)
+
+    fn = f"segment_turn_{_uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn, SegmentTurn)
+    t = _transcripts(spark, sf_dir)
+    view = f"_seg_in_{_uuid.uuid4().hex[:8]}"
+    t.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""SELECT conv_id, turn_idx, s.seg_idx, s.seg_text, s.n_words
+            FROM {view}, LATERAL {fn}(text) s"""
+    )
+
+
+_SEGMENTS_SQL_BODY = f"""
+SELECT conv_id, turn_idx, CAST(g - 1 AS INT) AS seg_idx,
+       array_to_string(words[(g - 1) * {SEG_WORDS} + 1 : least(len(words), g * {SEG_WORDS})], ' ') AS seg_text,
+       CAST(least(len(words), g * {SEG_WORDS}) - (g - 1) * {SEG_WORDS} AS INT) AS n_words
+FROM (
+  SELECT conv_id, turn_idx, words,
+         unnest(generate_series(1, CAST(ceil(len(words) / {SEG_WORDS}.0) AS BIGINT))) AS g
+  FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS words FROM transcripts)
+)"""
+
+
 PAGERANK_ROUNDS = 4  # must match the `p.it < 4` cap in the oracle
 PR_SCALE = 1_000_000_000  # rank micro-units
 
@@ -3011,6 +3059,12 @@ EXT_QUERIES: dict[str, Query] = {
         q_emb_kmeans_converged, EXT_ORACLES["emb_kmeans_converged"],
         "iterative k-means to a bounded fixpoint; scalar-only driver "
         "reads; oracle = DuckDB recursive CTE with packed-state steps",
+    ),
+    "turn_segments_udtf": Query(
+        q_turn_segments_udtf, _t_sql(_SEGMENTS_SQL_BODY),
+        "Python UDTF through LATERAL: 1-row->n-rows segmentation with "
+        "multi-column yield; surface certification, JVM split is the "
+        "hot path",
     ),
     "tool_pagerank": Query(
         q_tool_pagerank, _pagerank_sql(),
