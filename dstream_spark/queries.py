@@ -1464,14 +1464,17 @@ _GATE_PRIORITY = [
     "tpch_q17",
     "tpch_q21",
     "tpch_q22",
+    # never gated, late r5: Python UDTF surface
+    "turn_segments_udtf",
     # stalest refactor-touched r3 streaming entries (r4 verdict task 3;
-    # the rest of that rotation rolls to r6 behind the local sweeps)
+    # the rest of that rotation — incl. stream_tool_join, whose LEFT
+    # OUTER sibling the judge re-verified r4 — rolls to r6 behind the
+    # local sweeps)
     "stream_cdc_deletes",
     "stream_hourly_daily_rollup",
     "stream_dedup_sessions",
     "stream_cep_pattern",
     "stream_dedup_watermark",
-    "stream_tool_join",
 ]
 # displaced to the r6 window (each holds an r3/r4 driver row AND this
 # round's two local full-registry sweeps): the r4-gated entries the
