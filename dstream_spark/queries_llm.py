@@ -223,6 +223,96 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 16384  # filter bits — FIXED size whatever the eval corpus
+BLOOM_K = 4  # hash functions per shingle
+
+
+def _bloom_pos(g, j: int):
+    """Bit position j of shingle ``g`` in the m-bit filter: first 8
+    md5 hex digits of 'j|g' mod m. Spark-only — the oracle never needs
+    positions because the Bloom prune is correctness-transparent (see
+    q_docs_bloom_decontaminate)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), g)), 1, 8), 16, 10)
+    return (h.cast("long") % BLOOM_M).cast("int")
+
+
+def q_docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_decontaminate at the scale where the eval side OUTGROWS
+    the broadcast budget: a BLOOM-FILTER prune in front of the exact
+    overlap join.
+
+    q_docs_decontaminate broadcasts the eval shingle table — right
+    when the benchmark suite is MBs, wrong once the "eval" side is a
+    holdout corpus of its own (decontaminating 100 TB of training
+    text against, say, 100 GB of eval text: the shingle table no
+    longer fits an executor). The production shape is:
+
+    1. BUILD: the eval shingles' Bloom filter as a table of DISTINCT
+       set-bit positions — at most BLOOM_M rows (here 16384) however
+       large the eval corpus, the same bounded-state trick as the HLL
+       register table (functions/sketches.py). One exchange of ≤ m
+       ints.
+    2. PROBE: every training shingle checks its BLOOM_K positions via
+       chained broadcast LEFT SEMI hash joins against the bit table —
+       entirely map-side (the bit table is KBs), so the untouched
+       99%+ of training shingles DROP before any key-bearing
+       exchange. Same correctness-transparency argument as the CMS
+       heavy-hitter prune (functions/sketches.py): every eval shingle
+       sets all K of its bits, so a true-matching training shingle
+       can never miss — survivors are a SUPERSET, false positives
+       only.
+    3. VERIFY: the exact join on the shingle text runs ONLY on
+       survivors, as a shuffle hash join (the eval side is the
+       smaller-but-not-broadcastable side by premise), and false
+       positives vanish there.
+
+    Output and oracle are therefore IDENTICAL to docs_decontaminate
+    (same contract as tool_correlation_salted vs the unsalted join:
+    the scale mechanism must not change the answer). Pytest proves
+    the superset property and that the probe plan is broadcast-semi
+    map-side (tests/test_llm_ops.py).
+
+    Reference: the reference relay has no relational layer at all
+    (docs/design/design.md:87-101); this fills the brief's
+    training-data-pipeline axis."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    ev_grams = (
+        d.filter(F.col("doc_id") < DECON_EVAL_MAX_ID)
+        .select(F.explode(dedup_text.word_shingles("text", 3)).alias("g"))
+        .distinct()
+    )
+    bits = _materialize(
+        ev_grams.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("g"), j) for j in range(BLOOM_K)])
+            ).alias("bit")
+        ).distinct(),
+        "bloom_bits",
+    )
+    tr = fan_out(d.filter(F.col("doc_id") >= DECON_EVAL_MAX_ID)).select(
+        "doc_id", F.explode(dedup_text.word_shingles("text", 3)).alias("g")
+    )
+    surv = tr
+    for j in range(BLOOM_K):
+        b = bits.select(F.col("bit").alias(f"b{j}"))
+        surv = surv.join(
+            F.broadcast(b), _bloom_pos(F.col("g"), j) == F.col(f"b{j}"), "left_semi"
+        )
+    ev = d.filter(F.col("doc_id") < DECON_EVAL_MAX_ID).select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(dedup_text.word_shingles("text", 3)).alias("g"),
+    )
+    return (
+        surv.join(ev.hint("shuffle_hash"), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+
+
 def q_docs_simhash_wide_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WIDE-fingerprint near-dup path: 48-bit simhash + pigeonhole
     banding at hamming ≤ 8. docs_simhash_dups (32-bit) documents that
@@ -799,6 +889,12 @@ LLM_QUERIES: dict[str, Query] = {
     "docs_decontaminate": Query(
         q_docs_decontaminate, LLM_ORACLES["docs_decontaminate"],
         "eval-set n-gram overlap; broadcast eval side",
+    ),
+    "docs_bloom_decontaminate": Query(
+        q_docs_bloom_decontaminate, LLM_ORACLES["docs_decontaminate"],
+        "Bloom-pruned decontamination — bounded bit table, map-side semi "
+        "probe, exact verify on survivors only; same answer as the "
+        "broadcast form by construction",
     ),
     "docs_simhash_wide_dups": Query(
         q_docs_simhash_wide_dups, LLM_ORACLES["docs_simhash_wide_dups"],

@@ -90,3 +90,75 @@ def test_pack_entries_exact_at_non_default_shard_count(spark, sf_dir):
         got = sorted(map(tuple, fn(spark, sf_dir, n_shards=5).collect()))
         want = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == want and len(got) > 0
+
+
+def test_bloom_prune_is_superset_and_bounded(spark, sf_dir):
+    """The Bloom prune is correctness-transparent: every
+    true-matching training shingle survives (superset — no false
+    negatives by construction), the bit table is bounded by BLOOM_M
+    however large the eval side, and the prune actually prunes."""
+    from dstream_spark.functions import dedup_text
+    from dstream_spark.queries_llm import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_pos,
+        q_docs_bloom_decontaminate,
+        q_docs_decontaminate,
+    )
+    from dstream_spark.fixtures.transcripts import register_tables
+
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    sh = dedup_text.word_shingles("text", 3)
+    ev = (
+        d.filter(F.col("doc_id") < DECON_EVAL_MAX_ID)
+        .select(F.explode(sh).alias("g"))
+        .distinct()
+    )
+    bits = ev.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("g"), j) for j in range(BLOOM_K)])
+        ).alias("bit")
+    ).distinct()
+    assert bits.count() <= BLOOM_M
+    tr = d.filter(F.col("doc_id") >= DECON_EVAL_MAX_ID).select(
+        "doc_id", F.explode(sh).alias("g")
+    )
+    surv = tr
+    for j in range(BLOOM_K):
+        b = bits.select(F.col("bit").alias(f"b{j}"))
+        surv = surv.join(
+            F.broadcast(b), _bloom_pos(F.col("g"), j) == F.col(f"b{j}"), "left_semi"
+        )
+    # using-column joins move the key first; exceptAll is positional
+    true_matching = tr.join(ev, "g", "left_semi").select("doc_id", "g")
+    # superset: a true match can never be pruned
+    assert true_matching.exceptAll(surv.select("doc_id", "g")).count() == 0
+    # and the filter is doing real work (not pass-everything)
+    assert surv.count() < tr.count()
+    # end to end, the pruned pipeline gives the broadcast answer
+    a = q_docs_bloom_decontaminate(spark, sf_dir)
+    b = q_docs_decontaminate(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bloom_probe_plan_is_mapside_semi(spark, sf_dir):
+    """Plan contract for the 100 TB claim: the probe is BLOOM_K
+    broadcast LEFT SEMI hash joins (map-side — training shingles drop
+    before any key-bearing exchange), the verify is a shuffled hash
+    join on survivors only, and nothing degenerates to a sort-merge
+    or nested-loop join."""
+    import re
+
+    from dstream_spark.queries_llm import BLOOM_K, q_docs_bloom_decontaminate
+
+    plan = (
+        q_docs_bloom_decontaminate(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"BroadcastHashJoin.*LeftSemi", plan)) == BLOOM_K
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ShuffledHashJoin") == 1

@@ -121,6 +121,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!CartesianProduct", "no all-pairs plan"),
         ("!SortMergeJoin", "the corpus side never shuffles for the join"),
     ],
+    "docs_bloom_decontaminate": [
+        ("LeftSemi", "Bloom probe is a broadcast LEFT SEMI — shingles drop map-side"),
+        ("ShuffledHashJoin", "exact verify shuffles ONLY Bloom survivors"),
+        ("!CartesianProduct", "no all-pairs plan"),
+        ("!SortMergeJoin", "nothing degenerates to a full sort-merge"),
+    ],
     # round-4 additions
     "docs_para_dedup": [
         # the exploded (doc_id, para_md5) table is MATERIALIZED once
