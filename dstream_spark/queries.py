@@ -159,6 +159,25 @@ def q_cdc_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the change feed — the batch
+    twin of operators/scd.py::scd2_stream: every tool invocation is a
+    version of that tool's record; valid_to = the next change's ts
+    (tie-broken on conv_id, turn_idx), open version flagged
+    is_current. One lead() window per dimension key, one shuffle. The
+    warehouse step the reference's CDC relay feeds but does not
+    implement (docs/design/design.md:87-101)."""
+    from dstream_spark.operators.scd import scd2_build
+
+    return scd2_build(_transcripts(spark, sf_dir))
+
+
+def _stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_scd2_build
+
+    return stream_scd2_build(spark, sf_dir)
+
+
 def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per conversation: turn counts + agent
     turns (north-rule windowed aggregate; runs identically on the
@@ -791,6 +810,21 @@ FROM old o FULL OUTER JOIN new n
   ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
 WHERE o.old_text IS NULL OR n.new_text IS NULL OR o.old_text <> n.new_text"""
     ),
+    # SCD-2 history: the change order is (ts, conv_id, turn_idx) —
+    # tie-safe, so the lead() is deterministic under any partitioning.
+    # Shared verbatim by the batch build and the streaming fold.
+    "scd2_build": _t_sql(
+        """
+, ch AS (
+  SELECT tool, conv_id, turn_idx, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY tool ORDER BY ts, conv_id, turn_idx) AS valid_to,
+         substr(md5(text), 1, 8) AS attr
+  FROM transcripts WHERE tool IS NOT NULL
+)
+SELECT tool, conv_id, turn_idx, valid_from, valid_to, attr,
+       (valid_to IS NULL) AS is_current
+FROM ch"""
+    ),
     "tumbling_counts": _t_sql(
         """
 SELECT date_trunc('hour', ts) AS w_start,
@@ -1232,6 +1266,18 @@ QUERIES: dict[str, Query] = {
         "reconciliation diff of materialized state across a commit "
         "window: full-outer key join classified added/deleted/changed, "
         "output bounded by churn",
+    ),
+    "scd2_build": Query(
+        q_scd2_build, ORACLES["scd2_build"],
+        "SCD-2 dimension history from the change feed: lead()-window "
+        "valid_from/valid_to per key, open version flagged current",
+    ),
+    "stream_scd2_build": Query(
+        _stream_scd2_build, ORACLES["scd2_build"],
+        "incremental SCD-2 build: stateful fold (open version per key) "
+        "with retroactive closes as versioned upserts through the "
+        "exactly-once MergeSink; feed-level replay absorbed by the "
+        "cursor filter; final table == the batch lead() twin",
     ),
     "tumbling_counts": Query(q_tumbling_counts, ORACLES["tumbling_counts"]),
     "sliding_counts": Query(q_sliding_counts, ORACLES["sliding_counts"]),

@@ -751,3 +751,48 @@ def stream_cursor_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension BUILD from the change stream, end-to-end under
+    the oracle: time-range-split feed (the LSN-ordered CDC poll) →
+    per-key stateful fold (operators/scd.py::scd2_stream — state = the
+    open version per dimension key) → versioned exactly-once MergeSink
+    → read back.
+
+    The part a plain windowed agg can't do: a new change RETROACTIVELY
+    CLOSES the previous open version — an upsert of a row emitted in
+    an EARLIER epoch. The merge-on-read sink resolves it because the
+    closing emission carries the same (tool, conv_id, turn_idx) key at
+    a later epoch version. Batch 0 is feed-level crash-replayed (fresh
+    batch id — the commit markers canNOT absorb it); the operator's
+    cursor filter must, exactly like stream_cursor_dedup_ttl. Final
+    table == the batch lead()-window twin (scd2_build) — including
+    every is_current flag and every valid_to, closed or open."""
+    from dstream_spark.operators.scd import changes_of, scd2_stream
+
+    feed = _scratch("scd2_feed")
+    table = _scratch("scd2_table")
+    ckpt = _scratch("scd2_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, replay_batch0=True, split_by_time=True)
+    src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    out = scd2_stream(changes_of(src.select("conv_id", "turn_idx", "role", "text", "tool", "ts")))
+    sink = MergeSink(
+        table,
+        keys=("tool", "conv_id", "turn_idx"),
+        partition_key="tool",
+        order_cols=("tool", "conv_id", "turn_idx"),
+        version_col="_v",
+        n_partitions=4,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink.process_batch)
+        .option("checkpointLocation", os.path.join(ckpt, "q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read_table(spark).select(
+        "tool", "conv_id", "turn_idx", "valid_from", "valid_to", "attr", "is_current"
+    )

@@ -121,6 +121,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!CartesianProduct", "no all-pairs plan"),
         ("!SortMergeJoin", "the corpus side never shuffles for the join"),
     ],
+    "scd2_build": [
+        ("Window", "one lead() window per dimension key"),
+        ("!SinglePartition", "history ordering is per-key, never a global sort"),
+        ("!CartesianProduct", "no join at all — a single keyed window"),
+    ],
     "docs_bloom_decontaminate": [
         ("LeftSemi", "Bloom probe is a broadcast LEFT SEMI — shingles drop map-side"),
         ("ShuffledHashJoin", "exact verify shuffles ONLY Bloom survivors"),
