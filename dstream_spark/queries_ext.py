@@ -351,6 +351,73 @@ def q_stream_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM AS-OF join — the temporal-correlation shape
+    Structured Streaming has no native operator for, composed from two
+    stateful operators in one plan (Spark 3.5+ multi-stateful
+    support): watermarked interval join (lookback 3600 s, upper 0)
+    → event-time-windowed aggregation picking the LATEST right row
+    per left row via a struct max (max(struct(ts_r, turn_idx_r,
+    tool_r)) == ORDER BY ts_r DESC, turn_idx_r DESC LIMIT 1 — the
+    batch asof_join's pick, exactly). The group key is the left row's
+    identity plus its tumbling 1-hour window — the window contributes
+    nothing to the key (each agent turn has one ts) but gives the
+    aggregation its append-mode finalization clock.
+
+    Confirmability contract in the oracle: a pick is emitted once the
+    watermark (min of the two sides' max event time − 2 h) passes its
+    window end; matches whose window ends inside the final
+    watermark-delay tail of the stream stay unconfirmed — the same
+    eviction-encoded-in-the-oracle pattern as stream_tool_left_join.
+    Reference parity: dstream correlates change events across tables
+    only by relaying to a queue (docs/design/design.md:87-101); this
+    is the in-engine form."""
+    import uuid
+
+    from dstream_spark.operators.event_time import with_event_time
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("sasof")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_time=True)
+    a = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    t = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+    agents = with_event_time(
+        a.filter(F.col("role") == "agent").select("conv_id", "turn_idx", "ts"), "ts"
+    ).withWatermark("ts", "2 hours")
+    tools = with_event_time(
+        t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool", "ts"),
+        "ts",
+    ).withWatermark("ts", "2 hours")
+    r = tools.select([F.col(c).alias(f"{c}_r") for c in tools.columns])
+    cond = (
+        (F.col("conv_id") == F.col("conv_id_r"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 3600 SECONDS"))
+        & (F.col("ts_r") <= F.col("ts"))
+    )
+    picked = (
+        agents.join(r, cond, "inner")
+        .groupBy(F.window("ts", "1 hour"), "conv_id", "turn_idx")
+        .agg(F.max(F.struct("ts_r", "turn_idx_r", "tool_r")).alias("m"))
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("agent_turn"),
+            F.col("m.turn_idx_r").alias("tool_turn"),
+            F.col("m.tool_r").alias("tool"),
+        )
+    )
+    name = f"sasof_{uuid.uuid4().hex[:8]}"
+    q = (
+        picked.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_conv_gap_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vectorized-UDAF surface (GROUPED_AGG pandas_udf), completing
     the UDF family next to scalar pandas_udf / grouped-map / mapInPandas
@@ -2170,6 +2237,31 @@ j AS (
 )
 SELECT conv_id, agent_turn, tool_turn, tool FROM j WHERE rn = 1"""
     ),
+    # stream-stream as-of: the batch asof pick gated by the append-mode
+    # finalization clock — a row is confirmed once the global watermark
+    # (min of the two sides' max event time - 2 h) passes the 1-hour
+    # window end of its agent turn
+    "stream_asof_join": _t_sql(
+        """
+, agents AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'agent'),
+tools AS (SELECT conv_id, turn_idx, tool, ts FROM transcripts WHERE tool IS NOT NULL),
+wm AS (
+  SELECT least((SELECT max(ts) FROM agents), (SELECT max(ts) FROM tools))
+         - INTERVAL 2 HOUR AS w
+),
+j AS (
+  SELECT a.conv_id, a.turn_idx AS agent_turn, a.ts AS ts_a,
+         t.turn_idx AS tool_turn, t.tool,
+         row_number() OVER (PARTITION BY a.conv_id, a.turn_idx
+                            ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM agents a JOIN tools t
+    ON a.conv_id = t.conv_id
+   AND t.ts <= a.ts AND t.ts >= a.ts - INTERVAL '3600 seconds'
+)
+SELECT conv_id, agent_turn, tool_turn, tool
+FROM j, wm
+WHERE rn = 1 AND date_trunc('hour', ts_a) + INTERVAL 1 HOUR <= wm.w"""
+    ),
     "running_turn_counts": _t_sql(
         """
 SELECT conv_id, turn_idx,
@@ -2905,6 +2997,13 @@ EXT_QUERIES: dict[str, Query] = {
     "stream_tool_join": Query(
         q_stream_tool_join, EXT_ORACLES["stream_tool_join"],
         "REAL stream-stream watermarked interval join vs batch oracle",
+    ),
+    "stream_asof_join": Query(
+        q_stream_asof_join, EXT_ORACLES["stream_asof_join"],
+        "stream-stream AS-OF join: watermarked interval join chained "
+        "into an event-time-windowed struct-max pick (two stateful "
+        "operators, one plan); oracle encodes the append-mode "
+        "finalization contract",
     ),
     "tpch_q4": Query(q_tpch_q4, EXT_ORACLES["tpch_q4"]),
     "tpch_q12": Query(q_tpch_q12, EXT_ORACLES["tpch_q12"]),
