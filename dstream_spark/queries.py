@@ -1512,15 +1512,22 @@ _GATE_PRIORITY = [
     "tpch_q22",
     # never gated, late r5: Python UDTF surface
     "turn_segments_udtf",
-    # stalest refactor-touched r3 streaming entries (r4 verdict task 3;
-    # the rest of that rotation — incl. stream_tool_join, whose LEFT
-    # OUTER sibling the judge re-verified r4 — rolls to r6 behind the
-    # local sweeps)
+    # never gated, session-3 r5 additions: SCD-2 build (batch +
+    # streaming retroactive-close), stream-stream AS-OF, Bloom-pruned
+    # decontamination — zero driver rows, so they outrank stale
+    # re-verification for window slots
+    "scd2_build",
+    "stream_scd2_build",
+    "stream_asof_join",
+    "docs_bloom_decontaminate",
+    # stalest refactor-touched r3 streaming entry (r4 verdict task 3).
+    # The other four of that set (stream_hourly_daily_rollup and
+    # stream_cep_pattern — both judge-re-verified in the r4 round
+    # itself — plus stream_dedup_sessions, stream_dedup_watermark)
+    # roll to the r6 window behind this round's six local
+    # full-registry sweeps (sf0.001: 134/134, 144/144, 145/145;
+    # sf0.01: 135/135, 144/144, 146/146), which cover them all.
     "stream_cdc_deletes",
-    "stream_hourly_daily_rollup",
-    "stream_dedup_sessions",
-    "stream_cep_pattern",
-    "stream_dedup_watermark",
 ]
 # displaced to the r6 window (each holds an r3/r4 driver row AND this
 # round's two local full-registry sweeps): the r4-gated entries the
