@@ -495,3 +495,93 @@ def test_streaming_one_or_more_equals_batch_lag_scan(
             )
     assert len(got) == len(set(got)), f"duplicate emission: {sorted(got)}"
     assert set(got) == expected
+
+
+# --- 8. streaming SCD-2 fold == batch lead() model for any split --------
+
+
+_scd_changes = st.lists(
+    st.tuples(
+        st.integers(0, 2),   # tool key
+        st.integers(0, 2),   # conv
+        st.integers(1, 90),  # gap to previous change (seconds)
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    changes=_scd_changes,
+    cuts=st.lists(st.integers(1, 15), max_size=4),
+    replay=st.booleans(),
+)
+def test_streaming_scd2_fold_equals_batch_lead_any_split(changes, cuts, replay):
+    """For ANY change sequence over several dimension keys, ANY
+    micro-batch split (time-ordered, as the CDC feed guarantees), and
+    an optional crash-replay of the first batch, resolving the
+    streaming fold's emissions latest-version-per-key (what the
+    merge-on-read sink does) gives exactly the batch lead()-window
+    history: every version's valid_to is the next change's ts, the
+    last stays open, and the replay changes nothing."""
+    import pandas as pd
+
+    from dstream_spark.operators.scd import scd2_fn
+
+    from tests.test_scd2 import FakeState
+
+    # global, strictly increasing timestamps (the time-ordered feed);
+    # turn_idx = global position so (ts, conv, turn) is unique
+    rows, t = [], 0
+    for i, (tool, conv, gap) in enumerate(changes):
+        t += gap
+        rows.append(
+            (f"t{tool}", f"c{conv}", i,
+             pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t), f"a{i}")
+        )
+
+    # batch model: per key in change order, valid_to = next valid_from
+    expected = {}
+    by_key: dict[str, list] = {}
+    for tool, conv, turn, ts, attr in rows:
+        by_key.setdefault(tool, []).append((conv, turn, ts, attr))
+    for tool, seq in by_key.items():
+        for i, (conv, turn, ts, attr) in enumerate(seq):
+            vt = seq[i + 1][2] if i + 1 < len(seq) else None
+            expected[(tool, conv, turn)] = (ts, vt, attr, vt is None)
+
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    chunks, start = [], 0
+    for b in bounds + [len(rows)]:
+        if b > start:
+            chunks.append(rows[start:b])
+            start = b
+    if replay:
+        chunks.append(chunks[0])
+
+    def _pdf(chunk_rows):
+        return pd.DataFrame(
+            {
+                "tool": [r[0] for r in chunk_rows],
+                "conv_id": [r[1] for r in chunk_rows],
+                "turn_idx": [r[2] for r in chunk_rows],
+                "valid_from": pd.Series([r[3] for r in chunk_rows],
+                                        dtype="datetime64[ns]"),
+                "attr": [r[4] for r in chunk_rows],
+            }
+        )
+
+    states: dict[str, FakeState] = {}
+    resolved = {}  # latest emission per sink key, in epoch order
+    for chunk in chunks:
+        for tool in sorted({r[0] for r in chunk}):
+            sub = [r for r in chunk if r[0] == tool]
+            fake = states.setdefault(tool, FakeState())
+            for out in scd2_fn((tool,), iter([_pdf(sub)]), fake) or ():
+                for r in out.itertuples():
+                    vt = None if pd.isna(r.valid_to) else r.valid_to
+                    resolved[(r.tool, r.conv_id, int(r.turn_idx))] = (
+                        r.valid_from, vt, r.attr, bool(r.is_current)
+                    )
+    assert resolved == expected
