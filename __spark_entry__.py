@@ -3,7 +3,7 @@
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
                  training-data-pipeline ops, ALL with DuckDB oracles,
-                 incl. THIRTY-THREE real Structured Streaming runs
+                 incl. THIRTY-FOUR real Structured Streaming runs
                  (tumbling/sliding aggs, exactly-once sink under
                  replay incl. the full insert/update/DELETE envelope
                  replayed at its ORIGINAL epoch id, stateful cursor,
@@ -19,8 +19,13 @@ queries()      — every implemented operator from SURVEY.md §2 + the
                  an original-epoch replay), mergeable-sketch deposits
                  (HLL max-merge global + per-hour, histogram sum-merge
                  global + per-hour under original-epoch crash-replay),
-                 and driver-gated contract runs of checkpoint RESUME,
-                 the multi-table Monitor, and adaptive batch sizing —
+                 driver-gated contract runs of checkpoint RESUME,
+                 the multi-table Monitor, and adaptive batch sizing,
+                 a stream-stream AS-OF join (interval join chained
+                 into an event-time-windowed struct-max pick — two
+                 stateful operators, one plan), and an incremental
+                 SCD-2 dimension build (retroactive closes as
+                 versioned upserts through the exactly-once sink) —
                  all checked against batch SQL
 oracle_sql()   — matching DuckDB SQL per query
 """
