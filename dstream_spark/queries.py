@@ -178,6 +178,33 @@ def _stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_scd2_build(spark, sf_dir)
 
 
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup over the SCD-2 history — the
+    query the build exists for: the version of every dimension key
+    valid AS OF the corpus midpoint (a data-derived scalar, so the
+    entry is scale-free). The as-of instant and both interval bounds
+    compare as floored epoch seconds — the shared-CTE convention, the
+    same arithmetic on both engines. The 1-row bound table rides a
+    broadcast cross join (the deliberate 1-row scaffold, as in the
+    temporal-enrich dimension); the filter itself is a pure map-side
+    predicate over the history table."""
+    from dstream_spark.operators.scd import scd2_build
+
+    t = _transcripts(spark, sf_dir)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    bounds = t.agg(
+        F.floor((F.min(epoch) + F.max(epoch)) / 2).cast("long").alias("t_as_of")
+    )
+    h = scd2_build(t)
+    vf = F.col("valid_from").cast("timestamp").cast("long")
+    vt = F.col("valid_to").cast("timestamp").cast("long")
+    return (
+        h.crossJoin(F.broadcast(bounds))
+        .filter((vf <= F.col("t_as_of")) & (F.col("valid_to").isNull() | (vt > F.col("t_as_of"))))
+        .select("tool", "conv_id", "turn_idx", "attr")
+    )
+
+
 def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per conversation: turn counts + agent
     turns (north-rule windowed aggregate; runs identically on the
@@ -825,6 +852,22 @@ SELECT tool, conv_id, turn_idx, valid_from, valid_to, attr,
        (valid_to IS NULL) AS is_current
 FROM ch"""
     ),
+    "scd2_snapshot": _t_sql(
+        """
+, ch AS (
+  SELECT tool, conv_id, turn_idx, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY tool ORDER BY ts, conv_id, turn_idx) AS valid_to,
+         substr(md5(text), 1, 8) AS attr
+  FROM transcripts WHERE tool IS NOT NULL
+), b AS (
+  SELECT CAST(FLOOR((FLOOR(epoch(min(ts))) + FLOOR(epoch(max(ts)))) / 2) AS BIGINT) AS t_as_of
+  FROM transcripts
+)
+SELECT tool, conv_id, turn_idx, attr
+FROM ch, b
+WHERE CAST(FLOOR(epoch(valid_from)) AS BIGINT) <= b.t_as_of
+  AND (valid_to IS NULL OR CAST(FLOOR(epoch(valid_to)) AS BIGINT) > b.t_as_of)"""
+    ),
     "tumbling_counts": _t_sql(
         """
 SELECT date_trunc('hour', ts) AS w_start,
@@ -1271,6 +1314,12 @@ QUERIES: dict[str, Query] = {
         q_scd2_build, ORACLES["scd2_build"],
         "SCD-2 dimension history from the change feed: lead()-window "
         "valid_from/valid_to per key, open version flagged current",
+    ),
+    "scd2_snapshot": Query(
+        q_scd2_snapshot, ORACLES["scd2_snapshot"],
+        "point-in-time dimension lookup over the SCD-2 history at the "
+        "data-derived corpus midpoint — floored-epoch interval bounds, "
+        "map-side predicate, 1-row broadcast bound scaffold",
     ),
     "stream_scd2_build": Query(
         _stream_scd2_build, ORACLES["scd2_build"],
