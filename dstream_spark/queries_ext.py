@@ -1582,6 +1582,98 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= 3)
 
 
+PQ_SUBSPACES = 16
+PQ_CODEBOOK = 32  # centroids per subspace (vec_id < 32 slices, the IVF seed convention)
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN — the memory-compression path of the
+    ANN family (next to brute force = exact, IVF = candidate pruning,
+    LSH = hashing): each vector is stored as PQ_SUBSPACES codebook
+    ids (here 16 bytes instead of 64 floats, a 16× compression), and
+    query-to-vector distance is approximated by Asymmetric Distance
+    Computation — the query precomputes its distance to every
+    codebook centroid per subspace (a Q×m×k table, 640 cells here,
+    broadcast), and a vector's distance is the SUM of table lookups
+    at its codes (Jégou et al., TPAMI 2011).
+
+    Everything is one relational pass: codes = per-(vector, subspace)
+    argmin over the broadcast codebook; ADC = codes ⋈ broadcast
+    distance table, partial-aggregated SUM keyed (q_id, vec_id).
+    Subspace distances are squared-L2 via the dot-product identity
+    (dot(a,a) − 2·dot(a,b) + dot(b,b)) with the left-fold dot both
+    engines share, QUANTIZED to 1e-6-scaled BIGINTs before the
+    group-by — so the cross-partition sum is exact-integer and the
+    ranking can never be reordered by float accumulation. Codebooks
+    are the vec_id < 8 sub-slices (the emb_ivf_topk seed convention;
+    emb_kmeans_converged shows the trained form of the same shape).
+    At 10^9 vectors PQ composes with IVF cell restriction (IVF-PQ):
+    the candidate list comes from the cell, the scoring from this ADC
+    — the scoring pass here is the one that matters for memory."""
+    from dstream_spark.functions.similarity import dot
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings")
+    d = e.select(F.size("embedding").alias("d")).first()["d"]  # scalar only
+    seg = d // PQ_SUBSPACES
+    segs = F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)])
+
+    def subv(col, s):
+        return F.slice(col, s * F.lit(seg) + 1, seg)
+
+    def d2q(a, b):
+        d2 = dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+        return F.floor(d2 * 1000000 + F.lit(0.5)).cast("long")
+
+    cent_sub = _materialize(
+        e.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .select(
+            F.col("vec_id").alias("c_id"), F.explode(segs).alias("s"), "embedding"
+        )
+        .select("c_id", "s", subv(F.col("embedding"), F.col("s")).alias("c_sub")),
+        "pq_cents",
+    )
+    corp = fan_out(e).select(
+        "vec_id", F.explode(segs).alias("s"), "embedding"
+    ).select("vec_id", "s", subv(F.col("embedding"), F.col("s")).alias("v_sub"))
+    scored = corp.join(F.broadcast(cent_sub), "s").withColumn(
+        "dq", d2q(F.col("v_sub"), F.col("c_sub"))
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dq").asc(), F.col("c_id").asc()
+    )
+    codes = (
+        scored.withColumn("_rn", F.row_number().over(w_code))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "s", F.col("c_id").alias("code"))
+    )
+    q_sub = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("q_id"), F.explode(segs).alias("s"), "embedding")
+        .select("q_id", "s", subv(F.col("embedding"), F.col("s")).alias("q_sub"))
+    )
+    dtable = q_sub.join(F.broadcast(cent_sub), "s").select(
+        "q_id", "s", F.col("c_id").alias("code"), d2q(F.col("q_sub"), F.col("c_sub")).alias("dq")
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("dq").alias("adq"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adq").asc(), F.col("n_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id",
+            "n_id",
+            (F.col("adq").cast("double") / 1000000.0).alias("adist"),
+            "rank",
+        )
+    )
+
+
 def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd's-iteration centroid update expressed relationally
     (the iterative-algorithm family): assign every vector to its
@@ -2932,6 +3024,49 @@ SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, count(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events
 GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))""",
+    # PQ/ADC: subspace distances via the dot-product identity with the
+    # shared left-fold dot, quantized to 1e-6 BIGINTs BEFORE any sum —
+    # integer ranking, no float-accumulation hazard
+    "emb_pq_topk": """
+WITH dm AS (SELECT CAST(len(embedding) // 16 AS INT) AS seg FROM embeddings LIMIT 1),
+segs AS (SELECT unnest(generate_series(0, 15)) AS s),
+cent_sub AS (
+  SELECT e.vec_id AS c_id, g.s,
+         list_slice(CAST(e.embedding AS DOUBLE[]), g.s*dm.seg+1, (g.s+1)*dm.seg) AS c_sub
+  FROM embeddings e, segs g, dm WHERE e.vec_id < 32
+),
+corp AS (
+  SELECT e.vec_id, g.s,
+         list_slice(CAST(e.embedding AS DOUBLE[]), g.s*dm.seg+1, (g.s+1)*dm.seg) AS v_sub
+  FROM embeddings e, segs g, dm
+),
+scored AS (
+  SELECT c.vec_id, c.s, cs.c_id,
+         CAST(FLOOR((list_dot_product(v_sub, v_sub) - 2*list_dot_product(v_sub, c_sub)
+                     + list_dot_product(c_sub, c_sub)) * 1000000 + 0.5) AS BIGINT) AS dq
+  FROM corp c JOIN cent_sub cs USING (s)
+),
+codes AS (
+  SELECT vec_id, s, c_id AS code FROM (
+    SELECT vec_id, s, c_id,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dq ASC, c_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+dtable AS (
+  SELECT q.vec_id AS q_id, q.s, cs.c_id AS code,
+         CAST(FLOOR((list_dot_product(v_sub, v_sub) - 2*list_dot_product(v_sub, c_sub)
+                     + list_dot_product(c_sub, c_sub)) * 1000000 + 0.5) AS BIGINT) AS dq
+  FROM corp q JOIN cent_sub cs USING (s) WHERE q.vec_id < 20
+),
+adc AS (
+  SELECT d.q_id, c.vec_id AS n_id, CAST(SUM(d.dq) AS BIGINT) AS adq
+  FROM codes c JOIN dtable d ON c.s = d.s AND c.code = d.code AND c.vec_id != d.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, CAST(adq AS DOUBLE)/1000000.0 AS adist, rank FROM (
+  SELECT q_id, n_id, adq,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adq ASC, n_id ASC) AS INT) AS rank
+  FROM adc) WHERE rank <= 3""",
     "emb_ivf_topk": """
 WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
 scored_c AS (
@@ -3150,6 +3285,12 @@ EXT_QUERIES: dict[str, Query] = {
         f"refuses > {NEAR_DUP_MAX_ROWS} rows unless force=True",
     ),
     "emb_ivf_topk": Query(q_emb_ivf_topk, EXT_ORACLES["emb_ivf_topk"]),
+    "emb_pq_topk": Query(
+        q_emb_pq_topk, EXT_ORACLES["emb_pq_topk"],
+        "product-quantization ANN (ADC): per-subspace codebook codes + "
+        "broadcast query distance table, exact-integer distance sums — "
+        "the memory-compression path of the ANN family",
+    ),
     "docs_bpe_tokens": Query(q_docs_bpe_tokens, EXT_ORACLES["docs_bpe_tokens"]),
     "emb_lsh_buckets": Query(q_emb_lsh_buckets, EXT_ORACLES["emb_lsh_buckets"]),
     "emb_lsh_pairs": Query(q_emb_lsh_pairs, EXT_ORACLES["emb_lsh_pairs"]),

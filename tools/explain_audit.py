@@ -121,6 +121,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!CartesianProduct", "no all-pairs plan"),
         ("!SortMergeJoin", "the corpus side never shuffles for the join"),
     ],
+    "emb_pq_topk": [
+        ("BroadcastHashJoin", "codebook and ADC table ride broadcasts"),
+        ("!SortMergeJoin", "no corpus-sized shuffle join"),
+        ("!CartesianProduct", "never all-pairs"),
+        ("!BroadcastNestedLoopJoin", "every join is an equi-join"),
+    ],
     "scd2_build": [
         ("Window", "one lead() window per dimension key"),
         ("!SinglePartition", "history ordering is per-key, never a global sort"),
