@@ -124,3 +124,78 @@ def test_stream_scd2_retroactive_close_supersedes_in_sink(spark, sf_dir, tmp_pat
     twin = scd2_build(transcripts_from_events(spark, sf_dir))
     assert resolved.exceptAll(twin).count() == 0
     assert twin.exceptAll(resolved).count() == 0
+
+
+def test_stream_scd2_resume_closes_across_restart(spark, sf_dir, tmp_path):
+    """D4 for the SCD-2 builder: crash after two micro-batches,
+    restart on the SAME checkpoint — the state store must restore
+    each key's open version so phase-2 changes retroactively close
+    versions opened BEFORE the crash, and the final table equals the
+    batch twin (no loss, no dup, no stuck-open versions)."""
+    import shutil
+
+    from dstream_spark.fixtures.transcripts import transcripts_from_events
+    from dstream_spark.sinks.merge import MergeSink
+    from dstream_spark.sources.registry import changefeed
+    from dstream_spark.streaming_queries import _write_feed
+
+    staging = str(tmp_path / "staging")
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    _write_feed(spark, sf_dir, staging, n_batches=4, split_by_time=True)
+    files = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    sink = MergeSink(
+        str(tmp_path / "table"),
+        keys=("tool", "conv_id", "turn_idx"),
+        partition_key="tool",
+        order_cols=("tool", "conv_id", "turn_idx"),
+        version_col="_v",
+        n_partitions=2,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_wave():
+        src = changefeed(spark, {"path": feed, "max_files_per_trigger": 1})
+        out = scd2_stream(
+            changes_of(src.select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(sink.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:2]:
+        shutil.copy2(os.path.join(staging, f), os.path.join(feed, f))
+    run_wave()  # then "crash": the query is fully stopped
+    open_before = {
+        (r["tool"], r["conv_id"], r["turn_idx"])
+        for r in sink.read_table(spark)
+        .filter(F.col("is_current"))
+        .select("tool", "conv_id", "turn_idx")
+        .collect()
+    }
+    assert open_before  # every key seen so far has an open version
+
+    for f in files[2:]:
+        shutil.copy2(os.path.join(staging, f), os.path.join(feed, f))
+    run_wave()  # restart from the same checkpoint + state store
+
+    resolved = sink.read_table(spark).select(
+        "tool", "conv_id", "turn_idx", "valid_from", "valid_to", "attr", "is_current"
+    )
+    twin = scd2_build(transcripts_from_events(spark, sf_dir))
+    assert resolved.exceptAll(twin).count() == 0
+    assert twin.exceptAll(resolved).count() == 0
+    # the cross-restart mechanism itself: at least one version that was
+    # OPEN at the crash is now CLOSED by a post-restart change
+    closed_after = {
+        (r["tool"], r["conv_id"], r["turn_idx"])
+        for r in resolved.filter(~F.col("is_current"))
+        .select("tool", "conv_id", "turn_idx")
+        .collect()
+    }
+    assert open_before & closed_after
