@@ -1584,6 +1584,70 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_SUBSPACES = 16
 PQ_CODEBOOK = 32  # centroids per subspace (vec_id < 32 slices, the IVF seed convention)
+PQ_QUERIES = 20  # query set = vec_id < 20, the ANN-family convention
+
+
+def _pq_subv(col, s, seg):
+    return F.slice(col, s * F.lit(seg) + 1, seg)
+
+
+def _pq_d2q(a, b):
+    """Squared-L2 subspace distance via the dot identity, quantized to
+    a 1e-6-scaled BIGINT BEFORE any aggregation — integer ranking, no
+    float-accumulation hazard (the emb_kmeans exact-integer trick)."""
+    from dstream_spark.functions.similarity import dot
+
+    d2 = dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+    return F.floor(d2 * 1000000 + F.lit(0.5)).cast("long")
+
+
+def _pq_build(spark: SparkSession, corp_base: DataFrame, carry: tuple = ()):
+    """Shared PQ index build (emb_pq_topk / emb_ivfpq_topk): codebook
+    sub-slices (vec_id < PQ_CODEBOOK, materialized once), per-(vector,
+    subspace) codes as a broadcast-join argmin, and the Q×m×k query ADC
+    distance table (queries = vec_id < PQ_QUERIES). ``carry`` columns
+    of corp_base ride along into the codes table map-side (IVF-PQ
+    carries the cell id so candidate restriction never adds a shuffle).
+    """
+    e = spark.table("embeddings")
+    d = e.select(F.size("embedding").alias("d")).first()["d"]  # scalar only
+    seg = d // PQ_SUBSPACES
+    segs = F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)])
+
+    cent_sub = _materialize(
+        e.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .select(
+            F.col("vec_id").alias("c_id"), F.explode(segs).alias("s"), "embedding"
+        )
+        .select("c_id", "s", _pq_subv(F.col("embedding"), F.col("s"), seg).alias("c_sub")),
+        "pq_cents",
+    )
+    corp = corp_base.select(
+        "vec_id", *carry, F.explode(segs).alias("s"), "embedding"
+    ).select(
+        "vec_id", *carry, "s", _pq_subv(F.col("embedding"), F.col("s"), seg).alias("v_sub")
+    )
+    scored = corp.join(F.broadcast(cent_sub), "s").withColumn(
+        "dq", _pq_d2q(F.col("v_sub"), F.col("c_sub"))
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dq").asc(), F.col("c_id").asc()
+    )
+    codes = (
+        scored.withColumn("_rn", F.row_number().over(w_code))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", *carry, "s", F.col("c_id").alias("code"))
+    )
+    q_sub = (
+        e.filter(F.col("vec_id") < PQ_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.explode(segs).alias("s"), "embedding")
+        .select("q_id", "s", _pq_subv(F.col("embedding"), F.col("s"), seg).alias("q_sub"))
+    )
+    dtable = q_sub.join(F.broadcast(cent_sub), "s").select(
+        "q_id", "s", F.col("c_id").alias("code"),
+        _pq_d2q(F.col("q_sub"), F.col("c_sub")).alias("dq"),
+    )
+    return codes, dtable
 
 
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,54 +1671,12 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking can never be reordered by float accumulation. Codebooks
     are the vec_id < 8 sub-slices (the emb_ivf_topk seed convention;
     emb_kmeans_converged shows the trained form of the same shape).
-    At 10^9 vectors PQ composes with IVF cell restriction (IVF-PQ):
-    the candidate list comes from the cell, the scoring from this ADC
-    — the scoring pass here is the one that matters for memory."""
-    from dstream_spark.functions.similarity import dot
-
+    At 10^9 vectors PQ composes with IVF cell restriction (IVF-PQ —
+    emb_ivfpq_topk): the candidate list comes from the cell, the
+    scoring from this ADC."""
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
-    d = e.select(F.size("embedding").alias("d")).first()["d"]  # scalar only
-    seg = d // PQ_SUBSPACES
-    segs = F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)])
-
-    def subv(col, s):
-        return F.slice(col, s * F.lit(seg) + 1, seg)
-
-    def d2q(a, b):
-        d2 = dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
-        return F.floor(d2 * 1000000 + F.lit(0.5)).cast("long")
-
-    cent_sub = _materialize(
-        e.filter(F.col("vec_id") < PQ_CODEBOOK)
-        .select(
-            F.col("vec_id").alias("c_id"), F.explode(segs).alias("s"), "embedding"
-        )
-        .select("c_id", "s", subv(F.col("embedding"), F.col("s")).alias("c_sub")),
-        "pq_cents",
-    )
-    corp = fan_out(e).select(
-        "vec_id", F.explode(segs).alias("s"), "embedding"
-    ).select("vec_id", "s", subv(F.col("embedding"), F.col("s")).alias("v_sub"))
-    scored = corp.join(F.broadcast(cent_sub), "s").withColumn(
-        "dq", d2q(F.col("v_sub"), F.col("c_sub"))
-    )
-    w_code = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("dq").asc(), F.col("c_id").asc()
-    )
-    codes = (
-        scored.withColumn("_rn", F.row_number().over(w_code))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "s", F.col("c_id").alias("code"))
-    )
-    q_sub = (
-        e.filter(F.col("vec_id") < 20)
-        .select(F.col("vec_id").alias("q_id"), F.explode(segs).alias("s"), "embedding")
-        .select("q_id", "s", subv(F.col("embedding"), F.col("s")).alias("q_sub"))
-    )
-    dtable = q_sub.join(F.broadcast(cent_sub), "s").select(
-        "q_id", "s", F.col("c_id").alias("code"), d2q(F.col("q_sub"), F.col("c_sub")).alias("dq")
-    )
+    codes, dtable = _pq_build(spark, fan_out(e))
     adc = (
         codes.join(F.broadcast(dtable), ["s", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -1872,6 +1894,56 @@ def q_emb_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("c_id").alias("q_c"), "q_vec", "_qn")
     )
     return _cell_topk(probes, vecs)
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the 10^9-vector ANN shape end-to-end (Jégou et al.'s
+    IVFADC): the k-means-TRAINED IVF cells supply the CANDIDATES and
+    product-quantization ADC supplies the SCORING, composing
+    emb_ivf_trained_topk's pruning with emb_pq_topk's 16-bytes-per-
+    vector memory path. This is the index every production vector
+    store builds at scale — the cell restriction bounds how many
+    codes a query touches, the codes bound bytes per touched vector.
+
+    Plan shape: the PQ code build carries each vector's cell id along
+    MAP-SIDE (codes derive from the cell-assigned corpus, so candidate
+    restriction adds no join against a separate assignment table);
+    query cells arrive as a broadcast, so codes → candidate filter →
+    broadcast-ADC lookup are all map-side and the ONLY key-bearing
+    exchange in the search is the final (q_id, n_id) exact-integer
+    sum. Distances stay 1e-6-scaled BIGINTs — ranking is partitioning-
+    and engine-invariant, so the composed oracle (recursive-CTE
+    k-means + PQ codes + cell-restricted ADC) is hash-exact."""
+    _, vecs = _ivf_trained_cells(spark, sf_dir)
+    codes, dtable = _pq_build(
+        spark,
+        vecs.select("vec_id", F.col("c_id").alias("cell"), "embedding"),
+        carry=("cell",),
+    )
+    q_cells = (
+        vecs.filter(F.col("vec_id") < PQ_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("q_c"))
+    )
+    cand_codes = codes.join(
+        F.broadcast(q_cells),
+        (F.col("cell") == F.col("q_c")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    adc = (
+        cand_codes.join(F.broadcast(dtable), ["q_id", "s", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("dq").alias("adq"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adq").asc(), F.col("n_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id",
+            "n_id",
+            (F.col("adq").cast("double") / 1000000.0).alias("adist"),
+            "rank",
+        )
+    )
 
 
 def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2313,6 +2385,56 @@ SELECT q_id, n_id, sim, rank FROM (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rank
   FROM pairs
 ) WHERE rank <= 3"""
+
+# IVF-PQ: the trained-cells CTE supplies candidates (vecs), the PQ
+# CTEs supply codes + the query ADC table; distances are exact-integer
+# so the composed ranking is engine-invariant end-to-end
+_IVFPQ_TOPK_SQL = _IVF_TRAINED_CELLS_CTE + """,
+dm AS (SELECT CAST(len(embedding) // 16 AS INT) AS seg FROM embeddings LIMIT 1),
+segs AS (SELECT unnest(generate_series(0, 15)) AS s),
+cent_sub AS (
+  SELECT e.vec_id AS c_id, g.s,
+         list_slice(CAST(e.embedding AS DOUBLE[]), g.s*dm.seg+1, (g.s+1)*dm.seg) AS c_sub
+  FROM embeddings e, segs g, dm WHERE e.vec_id < 32
+),
+corp AS (
+  SELECT e.vec_id, g.s,
+         list_slice(CAST(e.embedding AS DOUBLE[]), g.s*dm.seg+1, (g.s+1)*dm.seg) AS v_sub
+  FROM embeddings e, segs g, dm
+),
+pscored AS (
+  SELECT c.vec_id, c.s, cs.c_id,
+         CAST(FLOOR((list_dot_product(v_sub, v_sub) - 2*list_dot_product(v_sub, c_sub)
+                     + list_dot_product(c_sub, c_sub)) * 1000000 + 0.5) AS BIGINT) AS dq
+  FROM corp c JOIN cent_sub cs USING (s)
+),
+codes AS (
+  SELECT vec_id, s, c_id AS code FROM (
+    SELECT vec_id, s, c_id,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dq ASC, c_id ASC) AS rn
+    FROM pscored) WHERE rn = 1
+),
+dtable AS (
+  SELECT q.vec_id AS q_id, q.s, cs.c_id AS code,
+         CAST(FLOOR((list_dot_product(v_sub, v_sub) - 2*list_dot_product(v_sub, c_sub)
+                     + list_dot_product(c_sub, c_sub)) * 1000000 + 0.5) AS BIGINT) AS dq
+  FROM corp q JOIN cent_sub cs USING (s) WHERE q.vec_id < 20
+),
+cand AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+  FROM vecs q JOIN vecs n ON q.c_id = n.c_id AND q.vec_id < 20 AND n.vec_id != q.vec_id
+),
+adc AS (
+  SELECT d.q_id, c.vec_id AS n_id, CAST(SUM(d.dq) AS BIGINT) AS adq
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.n_id
+  JOIN dtable d ON d.q_id = cand.q_id AND d.s = c.s AND d.code = c.code
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, CAST(adq AS DOUBLE)/1000000.0 AS adist, rank FROM (
+  SELECT q_id, n_id, adq,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adq ASC, n_id ASC) AS INT) AS rank
+  FROM adc) WHERE rank <= 3"""
 
 EXT_ORACLES: dict[str, str] = {
     "asof_join_tool": _t_sql(
@@ -3324,6 +3446,13 @@ EXT_QUERIES: dict[str, Query] = {
         "MULTI-PROBE trained IVF (nprobe=2, the ANN recall knob): "
         "2 nearest cells per query, disjoint candidates, corpus side "
         "never reshuffled; built r5, r6 gate window (COVERAGE.md)",
+    ),
+    "emb_ivfpq_topk": Query(
+        q_emb_ivfpq_topk, _IVFPQ_TOPK_SQL,
+        "IVF-PQ (IVFADC): trained cells supply candidates, PQ ADC "
+        "supplies scoring — cell id rides the code build map-side, "
+        "the only search exchange is the (q_id, n_id) integer sum; "
+        "built r5, r6 gate window (COVERAGE.md)",
     ),
     "cube_event_stats": Query(q_cube_event_stats, EXT_ORACLES["cube_event_stats"]),
     "tool_correlation_salted": Query(

@@ -172,6 +172,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!CartesianProduct", "candidates only within the trained cell"),
         ("BroadcastHashJoin", "query side broadcast into the cell join"),
     ],
+    "emb_ivfpq_topk": [
+        ("BroadcastHashJoin", "codebook, query cells, and ADC table ride broadcasts"),
+        ("!SortMergeJoin", "candidate restriction + ADC lookup are map-side"),
+        ("!CartesianProduct", "never all-pairs"),
+    ],
     "cep_not_followed_by": [
         ("Window", "inverted lead-array scan over (conv_id, turn_idx)"),
         ("!SinglePartition", "window partitioned by conv_id — linear at 10^12 turns"),
