@@ -2210,6 +2210,87 @@ def q_tool_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank
 
 
+def q_tool_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the undirected tool-transition graph —
+    the fourth graph/iterative-family member next to connected
+    components (docs_dup_clusters), PageRank, and k-means, and the
+    classic clustering-coefficient primitive. Algorithm: canonical
+    edge orientation (least, greatest) + DISTINCT gives each
+    undirected edge once with a < b; a triangle a<b<c is then exactly
+    one row of edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c) — the
+    node-iterator join that counts each triangle ONCE, no
+    permutation blowup. At web scale the canonical orientation is
+    what bounds the join fan-out (every wedge is generated at its
+    smallest vertex); here the edge table is tool×tool-bounded and
+    broadcast. Output: per-tool triangle membership count (each
+    triangle credits its three corners), zero-filled over all nodes."""
+    t = _transcripts(spark, sf_dir)
+    wnd = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (
+        t.filter(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("dst", F.lead("tool").over(wnd))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("tool")))
+    )
+    ue = _materialize(
+        seq.select(
+            F.least("tool", "dst").alias("a"), F.greatest("tool", "dst").alias("b")
+        ).distinct(),
+        "tri_edges",
+    )
+    e1 = ue.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = ue.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = ue.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    mem = (
+        tri.select(F.col("a").alias("tool"))
+        .unionAll(tri.select(F.col("b").alias("tool")))
+        .unionAll(tri.select(F.col("c").alias("tool")))
+        .groupBy("tool")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        ue.select(F.col("a").alias("tool"))
+        .unionAll(ue.select(F.col("b").alias("tool")))
+        .distinct()
+    )
+    return nodes.join(mem, "tool", "left").select(
+        "tool",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+
+
+_TRIANGLES_SQL_BODY = """
+, seq AS (
+  SELECT conv_id, turn_idx, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+  FROM transcripts WHERE tool IS NOT NULL
+), ue AS (
+  SELECT DISTINCT least(tool, dst) AS a, greatest(tool, dst) AS b
+  FROM seq WHERE dst IS NOT NULL AND dst != tool
+), tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.b
+  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+), mem AS (
+  SELECT t AS tool, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS t FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT t AS tool FROM (SELECT a AS t FROM ue UNION ALL SELECT b FROM ue)
+)
+SELECT n.tool AS tool, CAST(coalesce(m.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN mem m USING (tool)"""
+
+
 def _pagerank_sql() -> str:
     from dstream_spark.fixtures.transcripts import TRANSCRIPTS_CTE
 
@@ -3427,6 +3508,12 @@ EXT_QUERIES: dict[str, Query] = {
         "Python UDTF through LATERAL: 1-row->n-rows segmentation with "
         "multi-column yield; surface certification, JVM split is the "
         "hot path",
+    ),
+    "tool_triangles": Query(
+        q_tool_triangles, _t_sql(_TRIANGLES_SQL_BODY),
+        "triangle counting over the undirected tool-transition graph: "
+        "canonical a<b<c orientation, node-iterator join counts each "
+        "triangle once; per-tool membership zero-filled over nodes",
     ),
     "tool_pagerank": Query(
         q_tool_pagerank, _pagerank_sql(),

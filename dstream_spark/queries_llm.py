@@ -517,7 +517,263 @@ SELECT doc_id,
 FROM pre"""
 
 
+SUBSTR_WIN = 16  # rolling window length in tokens (overlapping, stride 1)
+
+
+def q_docs_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup signals (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): overlapping
+    SUBSTR_WIN-token rolling windows (stride 1) hashed and counted
+    corpus-wide; a window held by >= 2 DISTINCT documents marks a
+    cross-document duplicated span. Unlike docs_para_dedup's disjoint
+    chunks, overlapping windows catch duplicated passages at ANY
+    offset — the ExactSubstr property — at the cost of ~1 hash per
+    token instead of 1 per PARA_TOKENS.
+
+    Per document: window count, duplicated-window count, and
+    max_dup_span — the LONGEST duplicated run in tokens, recovered
+    from consecutive duplicated window starts by the gaps-and-islands
+    trick (win_idx − row_number() is constant within a run; max run
+    length + SUBSTR_WIN − 1 = span length). That is the per-doc
+    "longest shared substring" statistic the ExactSubstr cut step
+    consumes, without suffix arrays: the shuffle carries 16-byte
+    hashes keyed first by hash (ONE corpus-wide exchange, the
+    docs_exact_dedup plan) then by doc_id for the island scan —
+    both linear in tokens, both partial-aggregated."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    tk = F.split(F.col("text"), " ")
+    wins = F.when(
+        F.size(tk) >= SUBSTR_WIN,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - SUBSTR_WIN + 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, SUBSTR_WIN)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialized once: feeds the per-hash count, the join-back, and
+    # the per-doc window count (the para_dedup / self-join lesson)
+    inst = _materialize(
+        fan_out(d)
+        .select("doc_id", F.posexplode(wins).alias("pos", "wtext"))
+        .select(
+            "doc_id", (F.col("pos") + 1).alias("win_idx"), F.md5("wtext").alias("h")
+        ),
+        "substr_inst",
+    )
+    cnt = inst.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = inst.join(cnt.filter(F.col("n_docs") >= 2), "h").select("doc_id", "win_idx")
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    island = (
+        dup.withColumn("grp", F.col("win_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    pdd = island.groupBy("doc_id").agg(
+        F.sum("run_len").alias("n_dup_windows"), F.max("run_len").alias("max_run")
+    )
+    nwin = inst.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        d.select("doc_id")
+        .join(nwin, "doc_id", "left")
+        .join(pdd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.when(F.col("max_run").isNull(), F.lit(0))
+            .otherwise(F.col("max_run") + F.lit(SUBSTR_WIN - 1))
+            .cast("bigint")
+            .alias("max_dup_span"),
+        )
+    )
+
+
+def q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM QUALITY SCORING (Wenzek et al. 2020): score every
+    document by bits-per-token under an add-one-smoothed bigram model
+    trained on the corpus itself, then bucket head/middle/tail around
+    the corpus mean — the perplexity-filtering step real pretraining
+    pipelines run between dedup and packing.
+
+    The engine discipline is the point: NO transcendental functions.
+    log2 runs in exact FIXED-POINT micro-bits via the IEEE squaring
+    algorithm (functions/fixlog.py — every op exact or correctly
+    rounded, so Spark and DuckDB agree bit-for-bit; ln/exp would flake
+    a hash gate at the last ulp). Per-transition NLL_micro =
+    log2_micro(c(w1)+V) − log2_micro(c(w1,w2)+1) is a BIGINT, per-doc
+    totals are integer sums (no float accumulation order), and the
+    head/middle/tail cut compares floored integer means at ±10%
+    around the corpus mean.
+
+    Plan: bigram instances materialized ONCE (they feed the bigram
+    counts, the context counts, and the score join-back); counts are
+    partial-aggregated keyed exchanges; the 39-step log2 chain runs on
+    the bigram TYPE table (vocab², not corpus-sized) entirely inside
+    one codegen span; V and the corpus mean ride 1-row broadcasts.
+    Docs with < 2 tokens surface as bucket='short' with NULL bits."""
+    from dstream_spark.functions.fixlog import with_fp_log2
+
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    tk = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"), F.element_at(tk, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    binst = _materialize(
+        fan_out(d)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")),
+        "lm_binst",
+    )
+    big = binst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = binst.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    types = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2", (F.col("c12") + 1).alias("a"), (F.col("c1") + F.col("v")).alias("bv")
+        )
+    )
+    types = with_fp_log2(types, "a", "la")
+    types = with_fp_log2(types, "bv", "lb")
+    nllt = types.select("w1", "w2", (F.col("lb") - F.col("la")).alias("nll_micro"))
+    perdoc = (
+        binst.join(nllt, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("nll_micro").alias("nll_micro"),
+        )
+    )
+    tot = perdoc.agg(
+        F.sum("nll_micro").alias("tn"), F.sum("n_trans").alias("tt")
+    )
+    doc_mean = F.floor(
+        F.col("nll_micro").cast("double") / F.col("n_trans").cast("double")
+    )
+    corpus_mean = F.floor(F.col("tn").cast("double") / F.col("tt").cast("double"))
+    return (
+        d.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_trans"), F.lit(0)).cast("bigint").alias("n_trans"),
+            F.coalesce(F.col("nll_micro"), F.lit(0)).cast("bigint").alias("nll_micro"),
+            F.when(F.col("n_trans").isNull(), F.lit(None).cast("double"))
+            .otherwise(
+                F.col("nll_micro").cast("double")
+                / (F.col("n_trans").cast("double") * 1000000.0)
+            )
+            .alias("bits_per_token"),
+            F.when(F.col("n_trans").isNull(), F.lit("short"))
+            .when(doc_mean * 10 <= corpus_mean * 9, F.lit("head"))
+            .when(doc_mean * 10 >= corpus_mean * 11, F.lit("tail"))
+            .otherwise(F.lit("middle"))
+            .alias("bucket"),
+        )
+    )
+
+
+def _lm_ppl_sql() -> str:
+    """Oracle for q_docs_lm_perplexity: the same counts, the same
+    fixed-point log2 chain (fixlog.fp_log2_sql generates the DuckDB
+    twin of the Spark withColumn chain), the same floored-mean bucket
+    cut — bit-identical by construction, not by rounding."""
+    from dstream_spark.functions.fixlog import fp_log2_sql
+
+    types_inner = (
+        "SELECT b.w1, b.w2, b.c12 + 1 AS a, u.c1 + vv.v AS bv "
+        "FROM big b JOIN uni u USING (w1) CROSS JOIN vv"
+    )
+    chain = fp_log2_sql(fp_log2_sql(types_inner, "a", "la"), "bv", "lb")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), binst0 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+  FROM toks
+), binst AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM binst0
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM binst GROUP BY 1, 2
+), uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM binst GROUP BY 1
+), vv AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+), nllt AS (
+  SELECT w1, w2, lb - la AS nll_micro FROM ({chain})
+), perdoc AS (
+  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+         CAST(SUM(n.nll_micro) AS BIGINT) AS nll_micro
+  FROM binst i JOIN nllt n USING (w1, w2) GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(nll_micro) AS BIGINT) AS tn,
+         CAST(SUM(n_trans) AS BIGINT) AS tt FROM perdoc
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_trans, 0) AS BIGINT) AS n_trans,
+       CAST(coalesce(p.nll_micro, 0) AS BIGINT) AS nll_micro,
+       CASE WHEN p.doc_id IS NULL THEN NULL
+            ELSE CAST(p.nll_micro AS DOUBLE) / (CAST(p.n_trans AS DOUBLE) * 1000000.0)
+       END AS bits_per_token,
+       CASE WHEN p.doc_id IS NULL THEN 'short'
+            WHEN FLOOR(CAST(p.nll_micro AS DOUBLE) / CAST(p.n_trans AS DOUBLE)) * 10
+                 <= (SELECT FLOOR(CAST(tn AS DOUBLE) / CAST(tt AS DOUBLE)) FROM tot) * 9 THEN 'head'
+            WHEN FLOOR(CAST(p.nll_micro AS DOUBLE) / CAST(p.n_trans AS DOUBLE)) * 10
+                 >= (SELECT FLOOR(CAST(tn AS DOUBLE) / CAST(tt AS DOUBLE)) FROM tot) * 11 THEN 'tail'
+            ELSE 'middle'
+       END AS bucket
+FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+
+
 LLM_ORACLES: dict[str, str] = {
+    "docs_substr_dedup": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), inst0 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - {SUBSTR_WIN - 1}),
+         i -> struct_pack(w := i, h := md5(array_to_string(tk[i:i+{SUBSTR_WIN - 1}], ' '))))) AS s
+  FROM toks
+), inst AS (
+  SELECT doc_id, s.w AS win_idx, s.h AS h FROM inst0
+), cnt AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY 1
+), dup AS (
+  SELECT i.doc_id, i.win_idx FROM inst i JOIN cnt c USING (h) WHERE c.n_docs >= 2
+), island AS (
+  SELECT doc_id, grp, count(*) AS run_len FROM (
+    SELECT doc_id, win_idx,
+           win_idx - row_number() OVER (PARTITION BY doc_id ORDER BY win_idx) AS grp
+    FROM dup
+  ) GROUP BY 1, 2
+), pdd AS (
+  SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_dup_windows,
+         CAST(MAX(run_len) AS BIGINT) AS max_run
+  FROM island GROUP BY 1
+), nwin AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM inst GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(CASE WHEN p.max_run IS NULL THEN 0
+                 ELSE p.max_run + {SUBSTR_WIN - 1} END AS BIGINT) AS max_dup_span
+FROM documents d LEFT JOIN nwin nw USING (doc_id) LEFT JOIN pdd p USING (doc_id)""",
     "docs_para_dedup": f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -862,6 +1118,19 @@ LLM_QUERIES: dict[str, Query] = {
         q_docs_para_dedup, LLM_ORACLES["docs_para_dedup"],
         "sub-document (8-token paragraph) dedup: one shuffle on the "
         "16-byte hash; per-doc dup ratio + representative ownership",
+    ),
+    "docs_substr_dedup": Query(
+        q_docs_substr_dedup, LLM_ORACLES["docs_substr_dedup"],
+        "ExactSubstr signals (Lee et al.): overlapping 16-token rolling "
+        "windows, cross-doc duplicated spans, longest-run recovery via "
+        "gaps-and-islands — suffix-array semantics, hash-join cost",
+    ),
+    "docs_lm_perplexity": Query(
+        q_docs_lm_perplexity, _lm_ppl_sql(),
+        "CCNet-style bigram-LM bits-per-token + head/middle/tail "
+        "bucketing; log2 in exact fixed-point micro-bits (IEEE "
+        "squaring, functions/fixlog.py) — zero transcendentals, "
+        "integer sums, engine-invariant by construction",
     ),
     "docs_bpe_merged": Query(
         q_docs_bpe_merged, LLM_ORACLES["docs_bpe_merged"],

@@ -162,3 +162,64 @@ def test_bloom_probe_plan_is_mapside_semi(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("ShuffledHashJoin") == 1
+
+
+def test_fixlog_bit_identical_across_engines_and_accurate(spark):
+    """functions/fixlog.py contract: Spark and DuckDB produce the SAME
+    fixed-point log2 bit-for-bit (every op exact or correctly
+    rounded), and the value is within ~1.2e-5 bits of the true log2
+    (2^-19 algorithmic + Σ(1e6 >> k) integer-weight truncation) —
+    hypothesis-style sweep over hand-picked + pseudo-random ints."""
+    import math
+
+    import duckdb
+
+    from dstream_spark.functions.fixlog import fp_log2_sql, with_fp_log2
+
+    ns = [1, 2, 3, 5, 7, 8, 9, 42, 255, 256, 999983, 2**31 - 1, 2**40 + 12345, 2**52 - 1]
+    # deterministic pseudo-random extras (no RNG in tests either)
+    ns += [(1103515245 * k + 12345) % (2**41) + 1 for k in range(50)]
+
+    inner = "SELECT unnest([" + ",".join(f"CAST({n} AS BIGINT)" for n in ns) + "]) AS n"
+    duck = dict(duckdb.sql("SELECT n, l2 FROM (" + fp_log2_sql(inner, "n", "l2") + ")").fetchall())
+
+    df = spark.createDataFrame([(n,) for n in sorted(set(ns))], "n long")
+    sp = {r.n: r.l2 for r in with_fp_log2(df, "n", "l2").collect()}
+
+    for n in set(ns):
+        assert duck[n] == sp[n], f"engine divergence at n={n}: {duck[n]} vs {sp[n]}"
+        assert abs(duck[n] / 1e6 - math.log2(n)) < 1.2e-5, n
+
+
+def test_substr_dedup_matches_bruteforce_on_synthetic(spark, tmp_path):
+    """The gaps-and-islands max-run recovery equals a brute-force
+    longest-shared-window scan on a corpus with a planted duplicated
+    passage at different offsets."""
+    from dstream_spark.queries_llm import SUBSTR_WIN, q_docs_substr_dedup
+
+    shared = " ".join(f"s{i}" for i in range(SUBSTR_WIN + 5))  # 21-token shared passage
+    docs = [
+        (0, "a0 a1 a2 " + shared + " a3 a4"),
+        (1, "b0 " + shared + " b1 b2 b3 b4 b5"),
+        (2, " ".join(f"c{i}" for i in range(40))),  # no overlap
+        (3, "short doc"),  # under the window length
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": [x[0] for x in docs], "text": [x[1] for x in docs]}),
+        d + "/documents.parquet",
+    )
+    out = {r.doc_id: r for r in q_docs_substr_dedup(spark, d).collect()}
+    # the shared passage is 21 tokens -> 21-16+1 = 6 consecutive dup windows
+    # -> max span 6 + 16 - 1 = 21 tokens, in both carrying docs
+    assert out[0].max_dup_span == SUBSTR_WIN + 5
+    assert out[1].max_dup_span == SUBSTR_WIN + 5
+    assert out[0].n_dup_windows == 6 and out[1].n_dup_windows == 6
+    assert out[2].n_dup_windows == 0 and out[2].max_dup_span == 0
+    assert out[3].n_windows == 0 and out[3].max_dup_span == 0

@@ -172,6 +172,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!CartesianProduct", "candidates only within the trained cell"),
         ("BroadcastHashJoin", "query side broadcast into the cell join"),
     ],
+    "docs_substr_dedup": [
+        ("Window", "gaps-and-islands run scan, per-doc window"),
+        ("!SinglePartition", "island scan partitioned by doc_id — linear at 10^9 docs"),
+        ("!CartesianProduct", "dup detection is a hash-keyed count, never pairs"),
+        ("HashAggregate", "window counts partial-aggregated"),
+    ],
+    "docs_lm_perplexity": [
+        ("HashAggregate", "bigram/context counts partial-aggregated"),
+        ("!CartesianProduct", "scalars ride 1-row broadcasts, no pair blowup"),
+        ("codegen id", "the 39-step fixlog chain fuses into codegen"),
+    ],
+    "tool_triangles": [
+        ("BroadcastHashJoin", "edge table broadcast into the node-iterator join"),
+        ("!CartesianProduct", "canonical a<b<c: each triangle joined once"),
+    ],
     "emb_ivfpq_topk": [
         ("BroadcastHashJoin", "codebook, query cells, and ADC table ride broadcasts"),
         ("!SortMergeJoin", "candidate restriction + ADC lookup are map-side"),
