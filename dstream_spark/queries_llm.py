@@ -947,37 +947,57 @@ def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting shape: token explode → per-(doc, term) tf → per-term
     document frequency DERIVED FROM THE TF TABLE (no second corpus
     scan) → idf join → windowed top-k partitioned by doc. Exactness:
-    tf/df/n_docs are exact BIGINTs, ln is correctly-rounded on both
-    engines (the HLL precedent), the score rounds to 4 places and the
-    rank orders on the ROUNDED value with a term tiebreak, so the
-    top-3 set is deterministic cross-engine. At 10^12 tokens: two
-    keyed exchanges (tf, df) + one per-doc window; df is |vocab| rows
-    — broadcastable when the vocabulary is bounded."""
+    tf/df/n_docs are exact BIGINTs and idf runs in fixed-point
+    micro-bits (functions/fixlog.py — log2 via IEEE squaring,
+    bit-identical on both engines; this entry originally shipped
+    round(ln, 4), which is ~1-ulp engine-dependent — the LAST
+    transcendental in the registry, now gone). The rank orders on the
+    exact-integer score tf·(log2µ(N) − log2µ(df)) with a term
+    tiebreak; the reported double is one exact division of it. At
+    10^12 tokens: two keyed exchanges (tf, df) + one per-doc window;
+    the fixlog chain runs on the |vocab|-row df table, broadcastable
+    when the vocabulary is bounded."""
+    from dstream_spark.functions.fixlog import with_fp_log2
+
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfq = with_fp_log2(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")), "df", "l2df"
+    )
+    n = with_fp_log2(d.agg(F.count(F.lit(1)).alias("n_docs")), "n_docs", "l2n")
     scored = (
         tf.join(dfq, "term")
         .join(F.broadcast(n))
-        .withColumn(
-            "tfidf",
-            F.expr("round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4)"),
-        )
+        .withColumn("tfidf_micro", F.col("tf") * (F.col("l2n") - F.col("l2df")))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term").asc()
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tfidf", "rn")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tfidf_micro").cast("double") / 1000000.0).alias("tfidf"),
+            "rn",
+        )
     )
 
 
-LLM_ORACLES_TFIDF = """
+def _tfidf_sql() -> str:
+    from dstream_spark.functions.fixlog import fp_log2_sql
+
+    idf_inner = (
+        "SELECT dfq.term AS term, dfq.df AS df, n.n_docs AS n_docs "
+        "FROM dfq CROSS JOIN n"
+    )
+    chain = fp_log2_sql(fp_log2_sql(idf_inner, "df", "l2df"), "n_docs", "l2n")
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ), tf AS (
@@ -988,15 +1008,18 @@ WITH toks AS (
 ), n AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
 ), scored AS (
-  SELECT doc_id, tf.term AS term,
-         round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
-  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+  SELECT tf.doc_id, tf.term AS term, tf.tf * (c.l2n - c.l2df) AS tfidf_micro
+  FROM tf JOIN ({chain}) c ON tf.term = c.term
 )
-SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
+SELECT doc_id, term, CAST(tfidf_micro AS DOUBLE) / 1000000.0 AS tfidf,
+       CAST(rn AS INT) AS rn FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                               ORDER BY tfidf DESC, term ASC) AS rn
+                               ORDER BY tfidf_micro DESC, term ASC) AS rn
   FROM scored
 ) WHERE rn <= 3"""
+
+
+LLM_ORACLES_TFIDF = _tfidf_sql()
 
 
 SAMPLE_K = 5  # docs kept per language
