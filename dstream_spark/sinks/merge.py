@@ -119,12 +119,21 @@ class RenameCommitProtocol:
         """Committed data paths. A marker whose data dir is mid-swap
         (compact crashed between the aside rename and the snapshot
         rename) resolves to its ``.old`` aside — a marker therefore
-        never points at nothing."""
+        never points at nothing. mergeSchema unions the footer schemas
+        across epochs (merge-on-read SCHEMA EVOLUTION, the
+        Iceberg/Delta norm): a column added in a later epoch reads as
+        NULL on earlier rows, a column dropped later reads as NULL on
+        later rows — without it Spark pins one arbitrary footer's
+        schema and silently drops drifted columns."""
         paths = []
         for b in sorted(batch_ids):
             p = os.path.join(self.data_dir, f"batch_id={b}")
             paths.append(p if os.path.exists(p) else p + ".old")
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        return (
+            spark.read.option("basePath", self.data_dir)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
 
     def lineage_read(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self.lineage_dir).parquet(self.lineage_dir)
@@ -232,7 +241,11 @@ class MarkerCommitProtocol:
         dfs = [spark.read.option("basePath", p).parquet(p) for p in paths]
         out = dfs[0]
         for df in dfs[1:]:
-            out = out.unionByName(df)
+            # allowMissingColumns = the same merge-on-read schema
+            # evolution as the rename protocol's mergeSchema: an
+            # epoch that adds (or drops) a column unions with
+            # NULL-fill instead of throwing
+            out = out.unionByName(df, allowMissingColumns=True)
         return out
 
     def lineage_read(self, spark: SparkSession) -> DataFrame:

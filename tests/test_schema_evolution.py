@@ -18,6 +18,8 @@ import os
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from dstream_spark.fixtures.transcripts import CHANGEFEED_SCHEMA, generate_transcripts
 from dstream_spark.sinks.merge import MergeSink
 from dstream_spark.sources.registry import changefeed
@@ -133,3 +135,40 @@ def test_incompatible_type_change_fails_loudly(spark, tmp_path):
     sink = MergeSink(str(tmp_path / "tbl"), n_partitions=2)
     with pytest.raises(StreamingQueryException):
         _run(spark, feed, sink, str(tmp_path / "ckpt"))
+
+
+@pytest.mark.parametrize("protocol", ["rename", "marker"])
+def test_sink_side_additive_schema_evolution(spark, tmp_path, protocol):
+    """Merge-on-read schema evolution at the SINK (the Iceberg/Delta
+    norm): an epoch that ADDS a column unions with NULL-fill on
+    earlier rows — rename protocol via parquet mergeSchema, marker
+    protocol via unionByName(allowMissingColumns). Without it the
+    rename read pins one arbitrary footer's schema (silently dropping
+    the new column) and the marker read throws. Exactly-once under
+    replay is unchanged: the replayed old-schema epoch is absorbed by
+    its commit marker, never re-unioned."""
+    pdf = generate_transcripts(n_convs=2, turns_per_conv=4)
+    sink = MergeSink(str(tmp_path / f"tbl_{protocol}"), n_partitions=2, protocol=protocol)
+    base = spark.createDataFrame(pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]])
+    sink.process_batch(base, 0)
+
+    drifted = (
+        spark.createDataFrame(pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]])
+        .withColumn("turn_idx", F.col("turn_idx") + 100)  # new keys, same convs
+        .withColumn("source_region", F.lit("eu-1"))
+    )
+    sink.process_batch(drifted, 1)
+
+    out = sink.read_table(spark)
+    assert "source_region" in out.columns
+    rows = out.collect()
+    assert len(rows) == 2 * len(pdf)
+    old = [r for r in rows if r.turn_idx < 100]
+    new = [r for r in rows if r.turn_idx >= 100]
+    assert old and all(r.source_region is None for r in old)
+    assert new and all(r.source_region == "eu-1" for r in new)
+
+    # replaying the PRE-drift epoch at its original id is still a
+    # commit-marker no-op — the schema union never double-counts
+    sink.process_batch(base, 0)
+    assert sink.read_table(spark).count() == 2 * len(pdf)
