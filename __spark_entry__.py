@@ -3,7 +3,7 @@
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
                  training-data-pipeline ops, ALL with DuckDB oracles,
-                 incl. THIRTY-FOUR real Structured Streaming runs
+                 incl. THIRTY-FIVE real Structured Streaming runs
                  (tumbling/sliding aggs, exactly-once sink under
                  replay incl. the full insert/update/DELETE envelope
                  replayed at its ORIGINAL epoch id, stateful cursor,
@@ -26,7 +26,21 @@ queries()      — every implemented operator from SURVEY.md §2 + the
                  stateful operators, one plan), and an incremental
                  SCD-2 dimension build (retroactive closes as
                  versioned upserts through the exactly-once sink) —
-                 all checked against batch SQL
+                 all checked against batch SQL. Batch families: TPC-H
+                 (18 of 22), the dedup suite (exact/paragraph/
+                 rolling-window ExactSubstr/MinHash-LSH/SimHash/
+                 n-gram-Jaccard/embedding), the ANN suite (brute,
+                 trained + multi-probe IVF, PQ, composed IVF-PQ),
+                 graph (connected components, fixed-point PageRank,
+                 triangle counting), corpus preparation (split/pack/
+                 decontaminate incl. Bloom-pruned, quota + weighted
+                 sampling, CCNet perplexity bucketing on an exact
+                 fixed-point log2 — zero transcendentals), sketches
+                 (HLL/CMS/histogram, global + windowed), SCD-2
+                 build/snapshot/temporal joins, and the full window/
+                 agg/join/set-op/UDF surface,
+                 and a positional inverted index with a cross-
+                 algorithm phrase-query gate (index == scan)
 oracle_sql()   — matching DuckDB SQL per query
 """
 

@@ -1569,14 +1569,18 @@ _GATE_PRIORITY = [
     "stream_scd2_build",
     "stream_asof_join",
     "docs_bloom_decontaminate",
-    # stalest refactor-touched r3 streaming entry (r4 verdict task 3).
-    # The other four of that set (stream_hourly_daily_rollup and
-    # stream_cep_pattern — both judge-re-verified in the r4 round
-    # itself — plus stream_dedup_sessions, stream_dedup_watermark)
-    # roll to the r6 window behind this round's six local
-    # full-registry sweeps (sf0.001: 134/134, 144/144, 145/145;
-    # sf0.01: 135/135, 144/144, 146/146), which cover them all.
-    "stream_cdc_deletes",
+    # never gated, session-4 r5 addition: the CCNet perplexity gate on
+    # the fixed-point log2 — the most novel new machinery of the late
+    # round (functions/fixlog.py), so it takes the final window slot.
+    # It displaces stream_cdc_deletes (the one slot that held a
+    # re-verification rather than a never-gated entry): that entry
+    # already carries an r3 driver row, a judge r4 spot-check of its
+    # batch twin, and this round's local full-registry sweeps; it
+    # rolls to the FRONT of the r6 window with the rest of the r3
+    # rotation (stream_hourly_daily_rollup, stream_cep_pattern,
+    # stream_dedup_sessions, stream_dedup_watermark — list in
+    # COVERAGE.md's "Gate rotation plan").
+    "docs_lm_perplexity",
 ]
 # displaced to the r6 window (each holds an r3/r4 driver row AND this
 # round's two local full-registry sweeps): the r4-gated entries the

@@ -687,6 +687,120 @@ def q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX construction — the original MapReduce workload
+    and the retrieval-side counterpart of the corpus operators: one
+    row per (term, doc_id) carrying tf and the sorted 1-based
+    in-document position list (a POSITIONAL posting, what phrase and
+    proximity queries need). Scale shape: posexplode is map-side; the
+    single exchange is keyed (term, doc_id) with object-hash partial
+    aggregation, and emitting posting ROWS (not one giant array per
+    term) keeps row size bounded even for stopwords — the posting-
+    file layout, where a (term) range partition makes per-term
+    segments contiguous on disk. docs_phrase_hits consumes this index
+    and is oracle-checked against a DIFFERENT algorithm (the lead()
+    adjacency scan), proving index lookups equal the full scan."""
+    register_tables(spark, sf_dir, ("documents",))
+    d = spark.table("documents")
+    toks = (
+        fan_out(d)
+        .select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+        )
+        .filter(F.col("term") != "")
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list((F.col("pos") + 1).cast("int"))).alias(
+            "positions"
+        ),
+    )
+
+
+def q_docs_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE QUERY over the positional inverted index: find every
+    document containing the corpus's most frequent word bigram as an
+    adjacent phrase, with its hit count — computed by POSITION-LIST
+    INTERSECTION (join the two terms' postings per doc, intersect
+    positions(w1)+1 with positions(w2)), the way a search engine
+    answers "w1 w2". The oracle computes the same answer by a
+    completely different algorithm — the lead() adjacency scan over
+    the raw text — so the gate proves index == scan, the property an
+    index build must ship with. The phrase itself is data-derived
+    (max count, then lexicographic (w1, w2)) and read as ONE driver
+    scalar; the posting join is (doc_id)-keyed on two broadcast-sized
+    slices of the index."""
+    register_tables(spark, sf_dir, ("documents",))
+    idx = q_docs_inverted_index(spark, sf_dir)
+    d = spark.table("documents")
+    tk = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"), F.element_at(tk, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    top = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .first()
+    )
+    p1 = idx.filter(F.col("term") == top["w1"]).select(
+        "doc_id", F.col("positions").alias("pos1")
+    )
+    p2 = idx.filter(F.col("term") == top["w2"]).select(
+        "doc_id", F.col("positions").alias("pos2")
+    )
+    hits = (
+        p1.join(p2, "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform(F.col("pos1"), lambda x: x + 1), F.col("pos2")
+                )
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )
+    return hits.select(
+        "doc_id",
+        F.lit(top["w1"]).alias("w1"),
+        F.lit(top["w2"]).alias("w2"),
+        "n_hits",
+    )
+
+
+# phrase-hits oracle: a DIFFERENT algorithm on purpose — the lead()
+# adjacency scan, no index involved; same deterministic phrase pick
+_PHRASE_HITS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), adj0 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+  FROM toks
+), adj AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM adj0
+), top AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, w1 ASC, w2 ASC) AS rn
+    FROM adj GROUP BY 1, 2
+  ) WHERE rn = 1
+)
+SELECT a.doc_id, t.w1 AS w1, t.w2 AS w2, CAST(count(*) AS BIGINT) AS n_hits
+FROM adj a JOIN top t ON a.w1 = t.w1 AND a.w2 = t.w2
+GROUP BY 1, 2, 3"""
+
+
 def _lm_ppl_sql() -> str:
     """Oracle for q_docs_lm_perplexity: the same counts, the same
     fixed-point log2 chain (fixlog.fp_log2_sql generates the DuckDB
@@ -1141,6 +1255,27 @@ LLM_QUERIES: dict[str, Query] = {
         q_docs_para_dedup, LLM_ORACLES["docs_para_dedup"],
         "sub-document (8-token paragraph) dedup: one shuffle on the "
         "16-byte hash; per-doc dup ratio + representative ownership",
+    ),
+    "docs_inverted_index": Query(
+        q_docs_inverted_index,
+        """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       list(CAST(pos AS INT) ORDER BY pos) AS positions
+FROM toks WHERE term <> '' GROUP BY 1, 2""",
+        "positional inverted index (term, doc_id, tf, positions): the "
+        "MapReduce-heritage retrieval build; one keyed exchange, "
+        "posting rows bound row size for stopwords",
+    ),
+    "docs_phrase_hits": Query(
+        q_docs_phrase_hits, _PHRASE_HITS_SQL,
+        "phrase query via posting-position intersection, oracle = the "
+        "lead() adjacency scan — a cross-ALGORITHM gate proving "
+        "index == scan",
     ),
     "docs_substr_dedup": Query(
         q_docs_substr_dedup, LLM_ORACLES["docs_substr_dedup"],

@@ -223,3 +223,33 @@ def test_substr_dedup_matches_bruteforce_on_synthetic(spark, tmp_path):
     assert out[0].n_dup_windows == 6 and out[1].n_dup_windows == 6
     assert out[2].n_dup_windows == 0 and out[2].max_dup_span == 0
     assert out[3].n_windows == 0 and out[3].max_dup_span == 0
+
+
+def test_lm_perplexity_buckets_and_partition_invariance(spark, sf_dir):
+    """Bucket semantics: 'short' iff no bigram; head docs strictly
+    below middle/tail bits-per-token on (floored-mean) average; and
+    the whole result is PARTITIONING-INVARIANT — integer NLL sums mean
+    no float accumulation order exists to diverge."""
+    from dstream_spark.queries_llm import q_docs_lm_perplexity
+
+    out = q_docs_lm_perplexity(spark, sf_dir)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all((r.bucket == "short") == (r.n_trans == 0) for r in rows.values())
+    assert all(r.bits_per_token is None for r in rows.values() if r.bucket == "short")
+    by = {}
+    for r in rows.values():
+        if r.bucket != "short":
+            by.setdefault(r.bucket, []).append(r.bits_per_token)
+    if "head" in by and "tail" in by:
+        assert max(by["head"]) < min(by["tail"])  # ±10% band separates them
+
+    # partitioning invariance: same values after an adversarial reshuffle
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = {r.doc_id: r for r in q_docs_lm_perplexity(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert all(
+        rows[k].nll_micro == again[k].nll_micro and rows[k].bucket == again[k].bucket
+        for k in rows
+    )

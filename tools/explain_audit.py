@@ -172,6 +172,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("!CartesianProduct", "candidates only within the trained cell"),
         ("BroadcastHashJoin", "query side broadcast into the cell join"),
     ],
+    "docs_inverted_index": [
+        ("ObjectHashAggregate", "posting lists build with partial (map-side) aggregation"),
+        ("!CartesianProduct", "one keyed exchange, no joins at all"),
+        ("!SortMergeJoin", "index build is scan → explode → aggregate"),
+    ],
+    "docs_phrase_hits": [
+        ("!CartesianProduct", "posting join is doc_id-keyed"),
+    ],
     "docs_substr_dedup": [
         ("Window", "gaps-and-islands run scan, per-doc window"),
         ("!SinglePartition", "island scan partitioned by doc_id — linear at 10^9 docs"),
