@@ -39,8 +39,11 @@ queries()      — every implemented operator from SURVEY.md §2 + the
                  (HLL/CMS/histogram, global + windowed), SCD-2
                  build/snapshot/temporal joins, and the full window/
                  agg/join/set-op/UDF surface,
-                 and a positional inverted index with a cross-
-                 algorithm phrase-query gate (index == scan)
+                 a positional inverted index with a cross-
+                 algorithm phrase-query gate (index == scan), and the
+                 Spark 4 extension surfaces: Python UDTF, Python
+                 DataSource (partition-per-commit-file plugin scan),
+                 and VARIANT schema-on-read over the CDC envelope
 oracle_sql()   — matching DuckDB SQL per query
 """
 

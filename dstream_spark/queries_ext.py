@@ -275,6 +275,46 @@ def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_envelope_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface certification: the reference envelope
+    ingested as semi-structured VARIANT (parse_json) and queried with
+    variant_get typed paths — schema-on-read, the form from_json's
+    fixed schema cannot give (a provider adding envelope fields needs
+    no schema change here, the drift story at the payload level).
+    Typed path extraction + a filter on a nested path (agent turns);
+    the oracle is the plain relational projection, so the gate proves
+    variant path extraction == typed columns. VARIANT's binary
+    encoding is also the 100 TB answer to JSON-string scans: paths
+    are field-id lookups, not per-row string parsing."""
+    env_df = q_envelope_projection(spark, sf_dir)
+    v = env_df.select(F.parse_json(F.col("envelope")).alias("v"))
+    return v.select(
+        F.variant_get(F.col("v"), "$.metadata.TableName", "string").alias("table_name"),
+        F.variant_get(F.col("v"), "$.metadata.Seq", "int").alias("seq"),
+        F.variant_get(F.col("v"), "$.data.role", "string").alias("role"),
+        F.variant_get(F.col("v"), "$.data.text", "string").alias("text"),
+    ).filter(F.col("role") == "agent")
+
+
+def q_pyds_feed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API certification — the reference's
+    C6 ingester micro-interface at the PLUGIN level (sources/pyds.py):
+    a pure-Python source registered into spark.read.format(...) with
+    its own schema, one InputPartition per commit file (partition
+    planning mirrors the feed's commit structure), and Arrow
+    RecordBatch yields (never per-row Python conversion). The scan
+    returns the identity transcript set, so the oracle proves the
+    plugin path loses and invents nothing."""
+    from dstream_spark.sources.pyds import FeedDataSource
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("pyds_feed")
+    _write_feed(spark, sf_dir, feed, n_batches=4)
+    spark.dataSource.register(FeedDataSource)
+    df = spark.read.format("dstream_feed").option("path", feed).load()
+    return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def q_users_click_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: INTERSECT."""
     register_tables(spark, sf_dir, ("events",))
@@ -3325,6 +3365,23 @@ EXT_QUERIES: dict[str, Query] = {
     "users_click_and_error": Query(q_users_click_and_error, EXT_ORACLES["users_click_and_error"]),
     "event_value_percentiles": Query(
         q_event_value_percentiles, EXT_ORACLES["event_value_percentiles"]
+    ),
+    "envelope_variant": Query(
+        q_envelope_variant,
+        _t_sql(
+            """
+SELECT conv_id AS table_name, turn_idx AS seq, role, text
+FROM transcripts WHERE role = 'agent'"""
+        ),
+        "Spark 4 VARIANT surface: parse_json + variant_get typed paths "
+        "over the reference envelope, schema-on-read; gate proves "
+        "variant extraction == typed columns",
+    ),
+    "pyds_feed_scan": Query(
+        q_pyds_feed_scan, IDENTITY_SQL,
+        "Spark 4 Python DataSource (C6 ingester micro-interface at the "
+        "plugin level): one InputPartition per commit file, Arrow "
+        "RecordBatch yields; identity oracle",
     ),
     "envelope_parse": Query(
         q_envelope_parse, EXT_ORACLES["envelope_parse"],

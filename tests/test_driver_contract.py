@@ -61,3 +61,20 @@ def test_oracle_spot(spark, sf_dir, duck, name):
     assert sorted(sdf.columns) == sorted(res.columns)
     assert len(s_rows) == len(d_rows)
     assert hash_rows(sdf.columns, s_rows) == hash_rows(list(res.columns), d_rows)
+
+
+def test_pyds_partitions_mirror_commit_files(spark, sf_dir):
+    """The Python DataSource plans one InputPartition per commit file
+    — the feed's commit structure IS the scan parallelism (a 10^5-file
+    feed fans out to 10^5 tasks, no driver-side rows)."""
+    from dstream_spark.sources.pyds import FeedDataSource
+    from dstream_spark.streaming_queries import _scratch, _write_feed
+
+    feed = _scratch("pyds_parts")
+    _write_feed(spark, sf_dir, feed, n_batches=5)
+    spark.dataSource.register(FeedDataSource)
+    df = spark.read.format("dstream_feed").option("path", feed).load()
+    assert df.rdd.getNumPartitions() == 5
+    # per-partition commit versions are homogeneous: partition == file
+    vers = df.select("_commit_version").distinct().collect()
+    assert {r._commit_version for r in vers} == {0, 1, 2, 3, 4}
