@@ -3,7 +3,7 @@
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
                  training-data-pipeline ops, ALL with DuckDB oracles,
-                 incl. THIRTY-FIVE real Structured Streaming runs
+                 incl. THIRTY-SIX real Structured Streaming runs
                  (tumbling/sliding aggs, exactly-once sink under
                  replay incl. the full insert/update/DELETE envelope
                  replayed at its ORIGINAL epoch id, stateful cursor,
@@ -42,7 +42,8 @@ queries()      — every implemented operator from SURVEY.md §2 + the
                  a positional inverted index with a cross-
                  algorithm phrase-query gate (index == scan), and the
                  Spark 4 extension surfaces: Python UDTF, Python
-                 DataSource (partition-per-commit-file plugin scan),
+                 DataSource (partition-per-commit-file plugin scan
+                 AND a streaming reader with checkpointed offsets),
                  and VARIANT schema-on-read over the CDC envelope
 oracle_sql()   — matching DuckDB SQL per query
 """

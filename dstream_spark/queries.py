@@ -1165,6 +1165,12 @@ def _stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_exactly_once(spark, sf_dir)
 
 
+def _stream_pyds_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_pyds_feed
+
+    return stream_pyds_feed(spark, sf_dir)
+
+
 def _stream_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_cursor_dedup
 
@@ -1378,6 +1384,12 @@ QUERIES: dict[str, Query] = {
     "stream_exactly_once": Query(
         _stream_exactly_once, ORACLES["relay_identity"],
         "change feed with replayed batch → MergeSink → no dups, no loss",
+    ),
+    "stream_pyds_feed": Query(
+        _stream_pyds_feed, ORACLES["relay_identity"],
+        "Spark 4 Python DataSourceStreamReader (plugin CDC source with "
+        "checkpointed offsets) → foreachBatch → exactly-once MergeSink "
+        "under crash-replay; identity oracle",
     ),
     "stream_monitor_tables": Query(
         _stream_monitor_tables,

@@ -20,7 +20,12 @@ per-row Python object conversion).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 FEED_SCHEMA_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -57,6 +62,51 @@ class _FeedReader(DataSourceReader):
             yield batch.select(_COLS)
 
 
+class _FeedStreamReader(DataSourceStreamReader):
+    """The STREAMING form — the reference ingester's actual shape: a
+    source plugin with CHECKPOINTED OFFSETS. The offset is the count
+    of commit files consumed ({"index": n}, the LSN-position analog);
+    Spark persists it in the checkpoint through its offset log, so a
+    restarted query resumes at the committed index with no loss and
+    no re-read — the plugin supplies positions, the engine supplies
+    durability (exactly the reference's cdc_offsets split,
+    docs/capability-inventory.md:179-183). Each micro-batch's
+    partitions are the files in [start, end) — one task per commit
+    file, same as the batch reader."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def _files(self):
+        import glob
+        import os
+
+        return sorted(glob.glob(os.path.join(self.path, "batch_*.parquet")))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["index"] : end["index"]]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(partition.path)
+        for batch in f.iter_batches():
+            yield batch.select(_COLS)
+
+    def commit(self, end: dict) -> None:
+        pass  # positions are durable in Spark's offset log
+
+    def stop(self) -> None:
+        pass
+
+
 class FeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -67,3 +117,6 @@ class FeedDataSource(DataSource):
 
     def reader(self, schema) -> _FeedReader:
         return _FeedReader(self.options)
+
+    def streamReader(self, schema) -> _FeedStreamReader:
+        return _FeedStreamReader(self.options)

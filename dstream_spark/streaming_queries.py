@@ -186,6 +186,78 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_table(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def stream_pyds_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLUGIN streaming source end-to-end — the reference's actual
+    ingester shape (C6 + S1 + D3 in one run): a pure-Python Spark 4
+    DataSourceStreamReader (sources/pyds.py) supplies CHECKPOINTED
+    OFFSETS ({"index": n} commit-file positions, the LSN analog) that
+    Spark persists in its offset log, micro-batches flow one commit
+    file per partition through foreachBatch into the exactly-once
+    MergeSink, and the feed's crash-replay file (batch 0 re-landed at
+    a later commit_version) is absorbed by merge-on-read
+    latest-version-wins — so the result equals the identity
+    projection: the plugin path loses nothing, invents nothing,
+    double-counts nothing."""
+    from dstream_spark.sources.pyds import FeedDataSource
+
+    feed = _scratch("pyds_sfeed")
+    table = _scratch("pyds_stbl")
+    ckpt = _scratch("pyds_sckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, replay_batch0=True)
+    spark.dataSource.register(FeedDataSource)
+    sink = MergeSink(table, n_partitions=8)
+    sink.init()
+    src = spark.readStream.format("dstream_feed").option("path", feed).load()
+
+    def land(df: DataFrame, batch_id: int) -> None:
+        sink.process_batch(
+            df.select("conv_id", "turn_idx", "role", "text", "tool", "ts"), batch_id
+        )
+
+    # Spark's PythonMicroBatchStream does not support AvailableNow
+    # (falls back to one batch per start()), so incremental offset
+    # consumption is driven the honest way: land the feed in TWO
+    # waves and start() twice on the SAME checkpoint. Wave-2 must
+    # resume from the PERSISTED {"index": 2} offset — proven below by
+    # per-epoch landed row counts, not just the merged identity
+    # (merge-on-read would mask a silent re-read of wave 1).
+    wave1 = os.path.join(feed, "batch_00000.parquet"), os.path.join(
+        feed, "batch_00001.parquet"
+    )
+    held = [f for f in sorted(os.listdir(feed)) if f.endswith(".parquet")][2:]
+    hold_dir = _scratch("pyds_hold")
+    for f in held:
+        os.rename(os.path.join(feed, f), os.path.join(hold_dir, f))
+
+    def run_once() -> None:
+        q = (
+            src.writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(ckpt, "q"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    wave1_rows = sum(
+        spark.read.parquet(p).count() for p in wave1
+    )
+    for f in held:
+        os.rename(os.path.join(hold_dir, f), os.path.join(feed, f))
+    run_once()
+    raw = sink.protocol.data_read(spark, sink.committed_batches())
+    per_epoch = {r["batch_id"]: r["n"] for r in raw.groupBy("batch_id").count().withColumnRenamed("count", "n").collect()}
+    if per_epoch.get(0) != wave1_rows:
+        raise RuntimeError(f"wave 1 landed {per_epoch.get(0)} rows, expected {wave1_rows}")
+    if 1 not in per_epoch or per_epoch[1] == 0:
+        raise RuntimeError("wave 2 processed no new batch — offset did not resume")
+    if sum(per_epoch.values()) - wave1_rows != per_epoch[1]:
+        raise RuntimeError(f"unexpected epoch layout {per_epoch} — wave 1 re-read")
+    return sink.read_table(spark).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def stream_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKPOINT RESUME as a driver-gated oracle (D4, previously
     pytest-only): the feed arrives in two waves — batches 0-1 are
