@@ -246,13 +246,20 @@ def stream_pyds_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(os.path.join(hold_dir, f), os.path.join(feed, f))
     run_once()
     raw = sink.protocol.data_read(spark, sink.committed_batches())
-    per_epoch = {r["batch_id"]: r["n"] for r in raw.groupBy("batch_id").count().withColumnRenamed("count", "n").collect()}
-    if per_epoch.get(0) != wave1_rows:
-        raise RuntimeError(f"wave 1 landed {per_epoch.get(0)} rows, expected {wave1_rows}")
-    if 1 not in per_epoch or per_epoch[1] == 0:
+    st = raw.agg(
+        F.sum(F.when(F.col("batch_id") == 0, 1).otherwise(0)).alias("b0"),
+        F.sum(F.when(F.col("batch_id") == 1, 1).otherwise(0)).alias("b1"),
+        F.count(F.lit(1)).alias("total"),
+    ).first()  # one scalar row — the .first()-for-bounds convention
+    if st["b0"] != wave1_rows:
+        raise RuntimeError(f"wave 1 landed {st['b0']} rows, expected {wave1_rows}")
+    if not st["b1"]:
         raise RuntimeError("wave 2 processed no new batch — offset did not resume")
-    if sum(per_epoch.values()) - wave1_rows != per_epoch[1]:
-        raise RuntimeError(f"unexpected epoch layout {per_epoch} — wave 1 re-read")
+    if st["total"] != st["b0"] + st["b1"]:
+        raise RuntimeError(
+            f"unexpected epoch layout {dict(b0=st['b0'], b1=st['b1'], total=st['total'])}"
+            " — wave 1 re-read"
+        )
     return sink.read_table(spark).select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
