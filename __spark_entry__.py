@@ -3,7 +3,7 @@
 entry(spark)   — flagship pipeline on sf0.001 (smoke, rows > 0)
 queries()      — every implemented operator from SURVEY.md §2 + the
                  training-data-pipeline ops, ALL with DuckDB oracles,
-                 incl. THIRTY-SIX real Structured Streaming runs
+                 incl. THIRTY-EIGHT real Structured Streaming runs
                  (tumbling/sliding aggs, exactly-once sink under
                  replay incl. the full insert/update/DELETE envelope
                  replayed at its ORIGINAL epoch id, stateful cursor,
@@ -44,7 +44,10 @@ queries()      — every implemented operator from SURVEY.md §2 + the
                  Spark 4 extension surfaces: Python UDTF, Python
                  DataSource (partition-per-commit-file plugin scan
                  AND a streaming reader with checkpointed offsets),
-                 and VARIANT schema-on-read over the CDC envelope
+                 and VARIANT schema-on-read over the CDC envelope,
+                 plus snapshot reads on the exactly-once sink:
+                 time travel (read-as-of) and incremental scans
+                 with oracle-checked closed-form epoch content
 oracle_sql()   — matching DuckDB SQL per query
 """
 

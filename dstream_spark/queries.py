@@ -1171,6 +1171,34 @@ def _stream_pyds_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_pyds_feed(spark, sf_dir)
 
 
+def _stream_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_time_travel
+
+    return stream_time_travel(spark, sf_dir)
+
+
+def _stream_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstream_spark.streaming_queries import stream_incremental_read
+
+    return stream_incremental_read(spark, sf_dir)
+
+
+# the turn-sliced feed's closed-form slice rule (streaming_queries.
+# _write_feed split_by_turn): per = max(1, (max_turn+1+3)//4), epoch b
+# holds turn range [b*per, (b+1)*per) with the last epoch clamped —
+# so "as of epoch 1" = turn_idx < 2*per, "changes since epoch 1" =
+# turn_idx >= 2*per
+_SLICE_PER_CTE = """
+, m AS (SELECT greatest((max(turn_idx) + 4) // 4, 1) AS per FROM transcripts)
+"""
+_TIME_TRAVEL_SQL = _t_sql(
+    _SLICE_PER_CTE + "SELECT t.* FROM transcripts t, m WHERE t.turn_idx < 2 * m.per"
+)
+_INCREMENTAL_SQL = _t_sql(
+    _SLICE_PER_CTE + "SELECT t.* FROM transcripts t, m WHERE t.turn_idx >= 2 * m.per"
+)
+
+
 def _stream_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstream_spark.streaming_queries import stream_cursor_dedup
 
@@ -1390,6 +1418,18 @@ QUERIES: dict[str, Query] = {
         "Spark 4 Python DataSourceStreamReader (plugin CDC source with "
         "checkpointed offsets) → foreachBatch → exactly-once MergeSink "
         "under crash-replay; identity oracle",
+    ),
+    "stream_time_travel": Query(
+        _stream_time_travel, _TIME_TRAVEL_SQL,
+        "TIME TRAVEL (read-as-of) on the exactly-once sink: table as "
+        "of epoch 1 over a turn-sliced commit history; oracle = the "
+        "closed-form slice rule",
+    ),
+    "stream_incremental_read": Query(
+        _stream_incremental_read, _INCREMENTAL_SQL,
+        "INCREMENTAL scan (changes between snapshots): epochs (1, ∞) "
+        "— the downstream high-water-mark consumption shape; oracle = "
+        "the slice-rule complement",
     ),
     "stream_monitor_tables": Query(
         _stream_monitor_tables,

@@ -376,18 +376,60 @@ class MergeSink:
         cols = list(dict.fromkeys((*self.keys, *self.order_cols)))
         return spark.createDataFrame([], schema=", ".join(f"`{c}` string" for c in cols))
 
-    def read_table(self, spark: SparkSession) -> DataFrame:
+    def read_table(
+        self, spark: SparkSession, as_of_batch: int | None = None
+    ) -> DataFrame:
         """Committed rows only, latest version per key. Path resolution
         can race a concurrent compact()'s final cleanup (the resolved
         path vanishes before spark.read lists it) — re-resolve and
-        retry once; the post-compact committed set is self-consistent."""
-        committed = self.committed_batches()
+        retry once; the post-compact committed set is self-consistent.
+
+        ``as_of_batch`` = TIME TRAVEL (snapshot isolation, the Iceberg
+        read-as-of): the table as of epoch N — only batches <= N
+        participate, so "what did the table look like at commit N" is
+        one filter over the commit set, no data rewrite. Like Iceberg
+        snapshot expiry, compaction retires the epochs it merges: an
+        as-of older than every retained epoch resolves to the OLDEST
+        retained snapshot (the compact base, which holds the merged
+        state of everything it retired) — never to an empty table."""
+        if as_of_batch is not None:
+            committed = self.committed_batches()
+            if committed and all(b > as_of_batch for b in committed):
+                floor_id = min(committed)  # oldest retained snapshot
+                return self._read_epochs(spark, lambda b: b == floor_id)
+        return self._read_epochs(
+            spark, lambda b: as_of_batch is None or b <= as_of_batch
+        )
+
+    def read_changes(
+        self, spark: SparkSession, since_batch: int, until_batch: int | None = None
+    ) -> DataFrame:
+        """INCREMENTAL read: latest-version rows committed in epochs
+        (since_batch, until_batch] — the sink AS a change feed (the
+        Iceberg incremental scan; also S6 task chaining made explicit:
+        a downstream stage consumes exactly the epochs it has not seen,
+        resuming from its own high-water mark instead of re-scanning
+        the table). Compaction bound: if ``since_batch`` predates the
+        compact base, the base (which merged the retired epochs) falls
+        inside the window and the read OVER-DELIVERS already-consumed
+        rows — the at-least-once resolution. Iceberg raises here; this
+        engine's downstream consumption contract is a keyed MERGE
+        (S6: sink re-read as next source), where over-delivery is
+        absorbed by latest-version-wins exactly like a replayed epoch,
+        so delivery stays effectively exactly-once end to end."""
+        return self._read_epochs(
+            spark,
+            lambda b: b > since_batch and (until_batch is None or b <= until_batch),
+        )
+
+    def _read_epochs(self, spark: SparkSession, keep) -> DataFrame:
+        committed = {b for b in self.committed_batches() if keep(b)}
         if not committed:
             return self._empty_table(spark)
         try:
             df = self.protocol.data_read(spark, committed)
         except Exception:
-            committed = self.committed_batches()
+            committed = {b for b in self.committed_batches() if keep(b)}
             if not committed:
                 return self._empty_table(spark)
             df = self.protocol.data_read(spark, committed)

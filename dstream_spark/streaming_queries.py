@@ -265,6 +265,64 @@ def stream_pyds_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _landed_turn_sliced_sink(spark: SparkSession, sf_dir: str, tag: str) -> MergeSink:
+    """Shared runner for the snapshot-read entries: the turn-sliced
+    feed (batch b = each conversation's turn range [b·L, (b+1)·L),
+    L = ceil((max_turn+1)/4)) streamed one file per micro-batch into
+    an exactly-once MergeSink, so sink epoch b holds exactly turn
+    slice b — a commit history with a closed-form per-epoch content,
+    which is what lets DuckDB oracle a time-travel read."""
+    feed = _scratch(f"{tag}_feed")
+    table = _scratch(f"{tag}_table")
+    ckpt = _scratch(f"{tag}_ckpt")
+    _write_feed(spark, sf_dir, feed, n_batches=4, split_by_turn=True)
+    sink = MergeSink(table, n_partitions=8)
+    pipe = Pipeline(
+        spark,
+        {
+            "name": f"{tag}_{uuid.uuid4().hex[:8]}",
+            "source": {"type": "changefeed", "path": feed, "max_files_per_trigger": 1},
+            "transforms": [],
+            "sink": {"type": "merge", "sink": sink},
+            "checkpoint_dir": os.path.join(ckpt, "q"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    pipe.init()
+    q = pipe.run()
+    q.awaitTermination()
+    pipe.stop()
+    return sink
+
+
+def stream_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the exactly-once sink (Iceberg read-as-of /
+    snapshot isolation): after four turn-sliced epochs land, read the
+    table AS OF epoch 1 — one filter over the commit set, no data
+    rewrite. The oracle recomputes epoch content from the closed-form
+    slice rule (turn_idx < 2L), so the gate proves the snapshot is
+    exactly the first two commits' latest-version state. The CDC use
+    is the audit/debug story: 'what did the table look like when
+    commit 1 published' answered from the live commit history."""
+    sink = _landed_turn_sliced_sink(spark, sf_dir, "tt")
+    return sink.read_table(spark, as_of_batch=1).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def stream_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL scan of the sink (Iceberg changes-between-snapshots;
+    S6 task chaining made explicit): rows committed in epochs (1, 3] —
+    exactly what a downstream stage that already consumed through
+    epoch 1 reads next, resuming from its own high-water mark instead
+    of re-scanning the table. Complement of stream_time_travel's
+    snapshot under the same closed-form slice rule (turn_idx >= 2L)."""
+    sink = _landed_turn_sliced_sink(spark, sf_dir, "incr")
+    return sink.read_changes(spark, since_batch=1).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def stream_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKPOINT RESUME as a driver-gated oracle (D4, previously
     pytest-only): the feed arrives in two waves — batches 0-1 are
