@@ -67,3 +67,69 @@ def test_partitioned_write_prunes_scan(spark, tmp_path, sf_dir):
     plan = _final_plan(filtered)
     assert "PartitionFilters" in plan and "isnotnull(day" in plan
     assert filtered.count() == e.filter(F.to_date("ts") == F.lit(some_day)).count()
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path, sf_dir):
+    """Z-ORDER (Morton bit-interleave) clustering: range-partitioning
+    on the interleaved key gives BOTH dimensions narrow per-file
+    min/max spans, so parquet footer stats can skip files for range
+    predicates on EITHER dim — the multi-dimensional data-skipping
+    lever a linear sort cannot give (one narrow dim, the other
+    spanning everything in every file). Asserted on the actual parquet
+    footer statistics of both layouts; all arithmetic deterministic."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo_u, hi_u, lo_v, hi_v = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    # scale both dims onto the full 16-bit grid so every interleaved
+    # bit carries information regardless of the raw ranges
+    ub = F.floor(
+        (F.col("user_id") - F.lit(lo_u)) * 65535.0 / F.lit(float(hi_u - lo_u))
+    ).cast("long")
+    vb = F.floor(
+        (F.col("value") - F.lit(lo_v)) * 65535.0 / F.lit(float(hi_v - lo_v))
+    ).cast("long")
+    z = F.lit(0).cast("long")
+    for k in range(16):
+        z = z + F.shiftleft(F.shiftright(ub, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        z = z + F.shiftleft(F.shiftright(vb, k).bitwiseAND(F.lit(1)), 2 * k)
+    g = e.select(ub.alias("ub"), vb.alias("vb"), z.alias("z"))
+
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    g.repartitionByRange(8, "z").sortWithinPartitions("z").write.mode(
+        "overwrite"
+    ).parquet(zdir)
+    g.repartitionByRange(8, "ub").sortWithinPartitions("ub").write.mode(
+        "overwrite"
+    ).parquet(ldir)
+
+    def avg_span(dirpath: str, col: str) -> float:
+        fracs = []
+        for f in glob.glob(dirpath + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            fracs.append((max(maxs) - min(mins)) / 65535.0)
+        assert len(fracs) == 8
+        return sum(fracs) / len(fracs)
+
+    # z-order: BOTH dims narrow (8 range splits on the interleave =
+    # ~2 bits of one dim x ~1 of the other; measured 0.32/0.50 at
+    # sf0.001); linear: the sorted dim is razor thin (0.06) while the
+    # other spans most of the domain in every file (0.77 — not 1.0:
+    # value correlates weakly with the sorted dim in this corpus)
+    assert avg_span(zdir, "ub") < 0.45
+    assert avg_span(zdir, "vb") < 0.65
+    assert avg_span(ldir, "ub") < 0.15
+    assert avg_span(ldir, "vb") > 0.65
+    # and the z layout dominates the linear one on the unsorted dim
+    assert avg_span(zdir, "vb") < avg_span(ldir, "vb") - 0.2
