@@ -2307,6 +2307,51 @@ def q_tool_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE shared recursive-CTE text for both engines (Spark 4 added
+# WITH RECURSIVE; DuckDB has it since v0.5) — the strongest oracle
+# form: not two implementations compared, but one text executed twice
+_REACH_SQL_BODY = """
+, seq AS (
+  SELECT conv_id, turn_idx, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+  FROM transcripts WHERE tool IS NOT NULL
+), e AS (
+  SELECT DISTINCT tool AS src, dst FROM seq WHERE dst IS NOT NULL AND dst != tool
+), paths(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT p.src, e.dst, p.depth + 1
+  FROM paths p JOIN e ON e.src = p.dst
+  WHERE p.depth < 4 AND e.dst != p.src
+)
+SELECT src, dst, CAST(min(depth) AS INT) AS min_hops
+FROM paths GROUP BY 1, 2"""
+
+
+def _reach_sql() -> str:
+    return _t_sql(_REACH_SQL_BODY).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def q_tool_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED TRANSITIVE CLOSURE via Spark 4's declarative WITH
+    RECURSIVE — min-hops reachability (<= 4 hops) over the directed
+    tool-transition graph, certifying the recursive-SQL surface next
+    to the hand-rolled iterative loops (connected components, k-means,
+    PageRank all drive materialize-per-round loops; this one lets the
+    engine unroll the recursion). The SAME SQL text runs on DuckDB —
+    one text, two engines, hash-equal — so the oracle is maximally
+    strong. Semantics: min_hops is exact for src != dst (a shortest
+    path never revisits a node, and the e.dst != p.src prune only
+    forbids returning to the origin); self-pairs excluded by design.
+    Scale note: UNION ALL recursion enumerates WALKS — fine on a
+    tool-vocabulary graph (|nodes| bounded); on a 10^9-node graph the
+    frontier-dedup form (per-level DISTINCT against the visited set,
+    i.e. docs_dup_clusters' min-label loop) replaces it — depth cap 4
+    bounds the blowup here either way."""
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_reach_sql())
+
+
 _TRIANGLES_SQL_BODY = """
 , seq AS (
   SELECT conv_id, turn_idx, tool,
@@ -3565,6 +3610,11 @@ FROM transcripts WHERE role = 'agent'"""
         "Python UDTF through LATERAL: 1-row->n-rows segmentation with "
         "multi-column yield; surface certification, JVM split is the "
         "hot path",
+    ),
+    "tool_reach": Query(
+        q_tool_reach, _reach_sql(),
+        "bounded transitive closure (min-hops <= 4) via Spark 4 WITH "
+        "RECURSIVE — ONE shared SQL text executed on both engines",
     ),
     "tool_triangles": Query(
         q_tool_triangles, _t_sql(_TRIANGLES_SQL_BODY),
