@@ -80,3 +80,48 @@ def test_near_dup_verifier_refuses_large_corpus(spark, sf_dir, monkeypatch):
         qx.q_emb_near_dup_pairs(spark, sf_dir)
     # force=True overrides for deliberate sampled verification
     assert qx.q_emb_near_dup_pairs(spark, sf_dir, force=True).limit(1).count() >= 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The built-in complement of the salted operators: with AQE skew
+    handling on, a join whose left side has one hot key (~40x the
+    cold keys) replans as SortMergeJoin(skew=true) — the hot
+    partition split into advisory-sized chunks at RUNTIME, no manual
+    salting. The engine ships salting for the case AQE cannot reach
+    (per-key pair blowup inside a task, tool_correlation_salted's
+    docstring); this pins that the built-in path engages where it
+    can. Thresholds are lowered so the sf-independent synthetic skew
+    trips detection deterministically."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(200_000).select(F.lit(0).alias("k"), F.col("id").alias("a"))
+    cold = spark.range(5_000).select((F.col("id") % 50 + 1).alias("k"), F.col("id").alias("a"))
+    right = spark.range(51).select(F.col("id").alias("k"), F.lit("x").alias("b"))
+    saved = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        import contextlib
+        import io
+
+        j = hot.unionAll(cold).join(right, "k")
+        # execute THIS frame so its AQE plan finalizes (count() would
+        # finalize a sibling plan and leave j's at isFinalPlan=false)
+        assert len(j.collect()) == 205_000  # every row matches exactly once
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "SortMergeJoin(skew=true)" in buf.getvalue()
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v)
