@@ -76,6 +76,48 @@ transcripts AS (
 """.strip()
 
 
+# Spark-side variant of the SAME derivation: row_number partitions by
+# the conv_id EXPRESSION ('c' || user_id) instead of user_id. The map
+# user_id -> 'c' || CAST(user_id AS STRING) is injective (and NULL maps
+# to NULL on both engines), so the window groups — and therefore every
+# turn_idx — are identical; only the physical partitioning key changes.
+# Why (r6, guide §2.4 "remove shuffles outright"): the derivation costs
+# exactly one exchange, and every downstream transcript operator is
+# keyed on conv_id (sessionize/lineage groupBy, tumbling's
+# (window, conv_id) groupBy, apply_changes' (conv_id, turn_idx) window,
+# dropDuplicates, the conv_id interval self-join). Spark's alias-aware
+# output partitioning propagates hashpartitioning(conv_id) through the
+# projection, and a HashPartitioning that is a SUBSET of the required
+# clustering satisfies it — so all of those reuse this one exchange
+# instead of inserting a second full shuffle of the table. The oracle
+# keeps the original CTE text (frozen); results are bit-identical
+# (hash-verified across the whole transcript family).
+# conv_id is hoisted into a base projection so PARTITION BY references
+# the ATTRIBUTE (partitioning survives as hashpartitioning(conv_id));
+# partitioning by the raw expression would make the planner key the
+# exchange on a synthetic _w0 column that the final projection drops,
+# losing the reuse.
+TRANSCRIPTS_CTE_SPARK = """
+base AS (
+  SELECT 'c' || CAST(user_id AS STRING) AS conv_id, event_id, event_type, value, props, ts
+  FROM events
+),
+transcripts AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY event_id) AS INT) AS turn_idx,
+         CASE WHEN event_type IN ('click','view') THEN 'user'
+              WHEN event_type IN ('purchase','signup') THEN 'agent'
+              ELSE 'tool' END AS role,
+         event_type || ' ' || CAST(value AS STRING) || ' ' || props AS text,
+         CASE WHEN event_type = 'error'
+              THEN 'tool_' || CAST(CAST(FLOOR(value) AS BIGINT) % 5 AS STRING)
+         END AS tool,
+         ts
+  FROM base
+)
+""".strip()
+
+
 def register_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
     """Register the driver parquet tables as temp views (idempotent)."""
     for t in tables:
@@ -85,7 +127,7 @@ def register_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transcript table derived from the driver's events table."""
     register_tables(spark, sf_dir, ("events",))
-    return spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT * FROM transcripts")
+    return spark.sql(f"WITH {TRANSCRIPTS_CTE_SPARK} SELECT * FROM transcripts")
 
 
 def generate_transcripts(

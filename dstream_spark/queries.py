@@ -30,6 +30,7 @@ from dstream_spark.queries_base import (  # noqa: F401  (re-exported)
     Query,
     _materialize,
     fan_out,
+    maybe_broadcast,
     _t_sql,
     _transcripts,
 )
@@ -49,26 +50,67 @@ def q_relay_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 dual-key dedup: replay every 7th turn (the crash-replay
     overlap, mssql-ingester.md:84-87) then dedup on (conv_id,
-    turn_idx)."""
+    turn_idx).
+
+    The replay feed (t UNION ALL every-7th-of-t) is built in ONE pass
+    with an explode — same multiset, but the union form derived
+    transcripts twice (two scans, two window shuffles) and reset the
+    partitioning, forcing a third exchange for the dedup; the explode
+    preserves the derivation's conv_id partitioning, so dedup needs no
+    exchange at all (guide §2.4; r6)."""
     t = _transcripts(spark, sf_dir)
-    replay = t.filter(F.col("turn_idx") % 7 == 0)
-    return dedup.dedup_keys(t.unionAll(replay))
+    feed = t.select(
+        *t.columns,
+        F.explode(
+            F.when(F.col("turn_idx") % 7 == 0, F.array(F.lit(0), F.lit(1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ).alias("_copy"),
+    ).drop("_copy")
+    return dedup.dedup_keys(feed)
 
 
 def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert/update apply (OperationType, capability-inventory.md:
-    166-167): v2 edits every 5th turn; latest _commit_version wins."""
+    166-167): v2 edits every 5th turn; latest _commit_version wins.
+
+    The change feed (v1 UNION ALL v2-on-every-5th) is built in ONE
+    pass with an explode over per-row version structs — the union form
+    derived transcripts twice and reset the partitioning; the explode
+    keeps the derivation's conv_id partitioning, so apply_changes'
+    (conv_id, turn_idx) window is satisfied by the subset rule and
+    needs only a sort, no second exchange (guide §2.4; r6)."""
     t = _transcripts(spark, sf_dir)
-    v1 = t.withColumn("_commit_version", F.lit(1).cast("long")).withColumn(
-        "_change_type", F.lit("insert")
+    v1 = F.struct(
+        F.col("text").alias("text"),
+        F.lit(1).cast("long").alias("_commit_version"),
+        F.lit("insert").alias("_change_type"),
     )
-    v2 = (
-        t.filter(F.col("turn_idx") % 5 == 0)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" [edited]")))
-        .withColumn("_commit_version", F.lit(2).cast("long"))
-        .withColumn("_change_type", F.lit("update"))
+    v2 = F.struct(
+        F.concat(F.col("text"), F.lit(" [edited]")).alias("text"),
+        F.lit(2).cast("long").alias("_commit_version"),
+        F.lit("update").alias("_change_type"),
     )
-    out = cdc.apply_changes(v1.unionAll(v2))
+    feed = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.explode(
+            F.when(F.col("turn_idx") % 5 == 0, F.array(v1, v2)).otherwise(F.array(v1))
+        ).alias("_v"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("_v.text").alias("text"),
+        "tool",
+        "ts",
+        F.col("_v._commit_version").alias("_commit_version"),
+        F.col("_v._change_type").alias("_change_type"),
+    )
+    out = cdc.apply_changes(feed)
     return out.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
@@ -77,23 +119,44 @@ def q_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's CDC envelope, docs/capability-inventory.md:165-166; SQL
     Server CDC __$operation includes deletes): v2 edits every 5th turn,
     v3 deletes every 7th; apply_changes keeps the latest version per
-    key and drops keys whose latest change is a delete."""
+    key and drops keys whose latest change is a delete.
+
+    One-pass feed via explode over per-row version structs (see
+    q_cdc_latest_state): one scan/derivation instead of three, and the
+    apply window rides the derivation's conv_id partitioning (r6)."""
     t = _transcripts(spark, sf_dir)
-    v1 = t.withColumn("_commit_version", F.lit(1).cast("long")).withColumn(
-        "_change_type", F.lit("insert")
+
+    def ver(n: int, ctype: str, text=None):
+        return F.struct(
+            (text if text is not None else F.col("text")).alias("text"),
+            F.lit(n).cast("long").alias("_commit_version"),
+            F.lit(ctype).alias("_change_type"),
+        )
+
+    v1 = ver(1, "insert")
+    v2 = ver(2, "update", F.concat(F.col("text"), F.lit(" [edited]")))
+    v3 = ver(3, "delete")
+    p5 = F.col("turn_idx") % 5 == 0
+    p7 = F.col("turn_idx") % 7 == 0
+    arr = (
+        F.when(p5 & p7, F.array(v1, v2, v3))
+        .when(p5, F.array(v1, v2))
+        .when(p7, F.array(v1, v3))
+        .otherwise(F.array(v1))
     )
-    v2 = (
-        t.filter(F.col("turn_idx") % 5 == 0)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" [edited]")))
-        .withColumn("_commit_version", F.lit(2).cast("long"))
-        .withColumn("_change_type", F.lit("update"))
+    feed = t.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", F.explode(arr).alias("_v")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("_v.text").alias("text"),
+        "tool",
+        "ts",
+        F.col("_v._commit_version").alias("_commit_version"),
+        F.col("_v._change_type").alias("_change_type"),
     )
-    v3 = (
-        t.filter(F.col("turn_idx") % 7 == 0)
-        .withColumn("_commit_version", F.lit(3).cast("long"))
-        .withColumn("_change_type", F.lit("delete"))
-    )
-    out = cdc.apply_changes(v1.unionAll(v2).unionAll(v3))
+    out = cdc.apply_changes(feed)
     return out.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
@@ -312,7 +375,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = spark.table("orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
     li = spark.table("lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
-    j = li.join(o, li.l_orderkey == o.o_orderkey).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # size-adaptive broadcast of orders: kills BOTH fact-side exchanges
+    # (li and o shuffled on l_orderkey before — guide §3.1); falls back
+    # to SMJ automatically once orders outgrows the on-disk cap
+    j = li.join(maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
     agg = j.groupBy("l_orderkey", "o_orderdate").agg(
         (F.sum(F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5).cast("long")) / 100.0).alias("revenue")
     )
@@ -327,9 +395,13 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = spark.table("supplier")
     o = spark.table("orders")
     li = spark.table("lineitem")
+    # size-adaptive broadcasts for orders/customer (guide §3.1): the
+    # six-table chain then runs as one pass over lineitem with zero
+    # pre-aggregation exchanges; SMJ returns automatically when the
+    # tables outgrow the on-disk cap (see maybe_broadcast)
     j = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)

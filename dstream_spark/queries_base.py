@@ -88,6 +88,41 @@ def _minhash_sql() -> tuple[str, str]:
 MINHASH_SIG_CTE, MINHASH_BANDS_BODY = _minhash_sql()
 
 
+def maybe_broadcast(df: DataFrame, sf_dir: str, table: str, cap_bytes: int = 128 << 20) -> DataFrame:
+    """Broadcast-hint ``df`` when its SOURCE parquet footprint is small
+    enough to build a hash relation safely (guide §3.1).
+
+    Fact-to-midsize joins (lineitem x orders, x customer) default to a
+    sort-merge join because Catalyst's size estimates sit above the
+    10 MB auto-broadcast threshold — but shuffling the fact side costs
+    far more than building a hash relation from a table that is tens
+    of MB on disk. A HARD hint would stop being safe when the driver
+    escalates the scale factor, so the decision reads the actual
+    on-disk bytes: compressed parquet expands roughly 3-5x as a hash
+    relation, so a 128 MB file cap keeps the build well under memory
+    limits; anything larger keeps the planner's shuffle strategy.
+    Scale-adaptive by construction — at 100 TB these tables blow past
+    the cap and the hint vanishes."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        size = (
+            os.path.getsize(p)
+            if os.path.isfile(p)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        )
+    except OSError:
+        return df
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if size <= cap_bytes else df
+
+
 def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Raise parallelism before a CPU-heavy derived projection.
 

@@ -61,15 +61,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "emb_cosine_topk": [
         ("BroadcastNestedLoopJoin", "query side broadcast (non-equi condition)"),
     ],
-    # the banded similarity joins — the 100-TB scale path must never
-    # fall back to an all-pairs plan
+    # the similarity pair queries — the verify must be the vectorized
+    # block compare, never a row-at-a-time join (r6: the banding
+    # equi-join generated MORE candidates than all-pairs at this
+    # radius/width and emitted them through a sort-merge join at
+    # ~100ns/row — see functions/dedup_text.simhash_near_dups)
     "docs_simhash_dups": [
-        ("!CartesianProduct", "no all-pairs cross join"),
+        ("!CartesianProduct", "no cross-join plan"),
         ("!BroadcastNestedLoopJoin", "no nested-loop fallback"),
-        (("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"),
-         "pigeonhole-segment equi-join"),
-        ("!HashAggregate", "pair dedup is the first-match-segment FILTER — "
-         "no post-join aggregate/exchange at all"),
+        ("!SortMergeJoin", "no row-at-a-time candidate join — verify is vectorized numpy popcount"),
+        ("FlatMapGroupsInPandas", "triangle-block verify runs as one grouped Arrow pass"),
+        ("REPARTITION_BY_NUM", "explicit block-key exchange — AQE byte-based coalescing "
+         "must not serialize the quadratic compare work"),
     ],
     "docs_minhash_pairs": [
         ("!CartesianProduct", "no all-pairs cross join"),
