@@ -18,6 +18,8 @@ uniform hash order without engine-specific integer hashing.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -25,14 +27,59 @@ NUM_PERM = 8  # minhash permutations (seeded md5 namespaces)
 BANDS = 4  # LSH bands → rows_per_band = NUM_PERM // BANDS
 
 
+# pandas_udf parses DDL types against the active session; built lazily
+# so the module imports without one (see similarity._udf)
+_UDF_CACHE: dict[tuple, object] = {}
+
+
+def _shingles_py(text: str, k: int) -> list[str]:
+    """Python mirror of the word-shingle expression: split on a single
+    space (keeps empty tokens, like F.split/regex ' '), k-gram join,
+    first-occurrence-ordered distinct (array_distinct semantics)."""
+    toks = text.split(" ")
+    if len(toks) < k:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
+
+
 def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     """Distinct word k-grams as an array<string>; EMPTY array for
-    documents shorter than k tokens. The short-doc branch matters:
-    sequence(1, n) with n <= 0 yields the DESCENDING array [1, 0] in
-    Spark (and slice(toks, 0, k) then throws), while DuckDB's
-    generate_series(1, 0) is empty — so both the crash and the oracle
-    divergence are avoided by guarding on token count."""
-    toks = F.split(F.col(text_col), " ")
+    documents shorter than k tokens and for NULL text (both match the
+    expression form below).
+
+    Arrow-vectorized (guide §4.2): the original expression form
+    (split -> transform(sequence, concat_ws(slice)) -> array_distinct)
+    runs entirely in INTERPRETED higher-order-function eval — no
+    codegen — and measured 1.9 s for 50k docs at the 10x proxy where
+    the Python str.join + dict.fromkeys loop (C-speed string ops, one
+    Arrow crossing of the text column) does the same work in a
+    fraction of that. Output strings/order are bit-identical
+    (first-occurrence distinct; single-space split keeps empty tokens
+    on both paths; NULL text falls into the when()'s otherwise branch
+    — size(NULL) is NULL, a NULL condition takes otherwise — so BOTH
+    forms yield []). The expression form is kept below as
+    word_shingles_expr — the equivalence reference for tests."""
+    key = ("shingles", k)
+    if key not in _UDF_CACHE:
+
+        def shingle_batch(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [[] if t is None else _shingles_py(t, k) for t in s],
+                dtype=object,
+            )
+
+        _UDF_CACHE[key] = F.pandas_udf(shingle_batch, "array<string>")
+    return _UDF_CACHE[key](F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def word_shingles_expr(text_col: str = "text", k: int = 3) -> Column:
+    """The original expression form (equivalence reference). The
+    short-doc branch matters: sequence(1, n) with n <= 0 yields the
+    DESCENDING array [1, 0] in Spark (and slice(toks, 0, k) then
+    throws), while DuckDB's generate_series(1, 0) is empty — so both
+    the crash and the oracle divergence are avoided by guarding on
+    token count."""
+    toks = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
     n = F.size(toks) - F.lit(k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n),
@@ -53,7 +100,56 @@ def _seeded_md5(seed: int):
 
 
 def minhash_signature(shingles: Column, num_perm: int = NUM_PERM) -> list[Column]:
-    """num_perm minhash values: min over md5('<seed>|' || shingle)."""
+    """num_perm minhash values: min over md5('<seed>|' || shingle).
+
+    Arrow-vectorized: ONE pandas UDF computes all seeds' digests per
+    DISTINCT shingle (per-batch memo — hashlib.md5 in C, ~8x less
+    expression work than the interpreted transform+array_min per
+    seed), takes the byte-wise min per seed and hex-encodes it.
+    Lowercase-hex lexicographic order == digest-byte lexicographic
+    order ('0'..'9' < 'a'..'f' is monotone in the nibble value), so
+    min(hex strings) == hex(min(digests)) and results are identical
+    to the expression form (kept as minhash_signature_expr; equality
+    enforced in tests). Empty/NULL shingle arrays yield NULL minhashes
+    on both paths (array_min of an empty transform is NULL;
+    element_at on a NULL array is NULL)."""
+    arr = _minhash_arr(shingles, num_perm)
+    return [F.element_at(arr, seed + 1).alias(f"mh_{seed}") for seed in range(num_perm)]
+
+
+def _minhash_arr(shingles: Column, num_perm: int) -> Column:
+    import hashlib
+
+    key = ("minhash", num_perm)
+    if key not in _UDF_CACHE:
+        prefixes = [f"{seed}|".encode() for seed in range(num_perm)]
+
+        def minhash_batch(s: pd.Series) -> pd.Series:
+            memo: dict = {}
+
+            def digests(g: str):
+                d = memo.get(g)
+                if d is None:
+                    gb = g.encode()
+                    d = [hashlib.md5(p + gb).digest() for p in prefixes]
+                    memo[g] = d
+                return d
+
+            out = []
+            for sh in s:
+                if sh is None or len(sh) == 0:
+                    out.append(None)
+                    continue
+                rows = [digests(g) for g in sh]
+                out.append([min(r[j] for r in rows).hex() for j in range(num_perm)])
+            return pd.Series(out, dtype=object)
+
+        _UDF_CACHE[key] = F.pandas_udf(minhash_batch, "array<string>")
+    return _UDF_CACHE[key](shingles)
+
+
+def minhash_signature_expr(shingles: Column, num_perm: int = NUM_PERM) -> list[Column]:
+    """The original expression form (equivalence reference)."""
     return [
         F.array_min(F.transform(shingles, _seeded_md5(seed))).alias(f"mh_{seed}")
         for seed in range(num_perm)
@@ -127,20 +223,67 @@ def simhash_table(
     text_col: str = "text",
     bits: int = 32,
 ) -> DataFrame:
-    """(id, simhash) via explode + one partially-aggregated groupBy —
-    measured ~3x faster than the per-row 32-bit-fold expression form
-    (codegen'd conditional sums beat interpreted array folds), and the
-    shuffle stays tiny: a document's tokens are colocated, so map-side
-    combine collapses each doc to one 32-vote row before the exchange.
-    Output is identical to simhash_expr (verified by test + measured
-    equality).
+    """(id, simhash) via ONE Arrow-vectorized pass — no explode, no
+    groupBy, NO EXCHANGE: each document's votes are summed in numpy
+    inside a pandas UDF (hashlib.md5 per distinct token with a
+    per-batch memo). The r5 explode+partial-agg form shuffled one
+    32/48-vote row per doc and evaluated bits× sum expressions per
+    token row; this computes the same integer votes at C speed
+    (measured 1.4 s -> ~0.5 s for 50k docs at the 10x proxy) and the
+    plan collapses to Scan -> ArrowEvalPython -> Project.
 
-    The md5 hex nibbles are decoded ONCE per token in a projection
-    (bits/4 instr+substring calls), and the per-bit vote inputs are
-    cheap shiftright/AND over those nibble columns — the aggregate
-    expressions each referenced their own instr(substring(md5)) chain
-    before (Catalyst does not CSE across aggregate expressions), which
-    made the vote pass 4x more string work than needed (r6)."""
+    Exactness: bit b of token t = (nibble(md5_hex(t), b//4) >> (b%4))
+    & 1, decoded here straight from the digest bytes (hex char 2i =
+    high nibble of byte i); votes are exact integers, so output is
+    bit-identical to simhash_expr / the DuckDB oracle (equality
+    enforced in tests). NULL text yields no row on both paths (the
+    explode form dropped it; here it is filtered explicitly)."""
+    import hashlib
+
+    key = ("simhash", bits)
+    if key not in _UDF_CACHE:
+        nhex = bits // 4
+        nbytes = nhex // 2
+        shifts = np.arange(4, dtype=np.uint8)
+        pow2 = (np.int64(1) << np.arange(bits, dtype=np.int64)).astype(np.int64)
+
+        def tok_bits(t: str, memo: dict) -> np.ndarray:
+            v = memo.get(t)
+            if v is None:
+                dig = hashlib.md5(t.encode()).digest()[:nbytes]
+                b = np.frombuffer(dig, dtype=np.uint8)
+                nibs = np.empty(nhex, dtype=np.uint8)
+                nibs[0::2] = b >> 4
+                nibs[1::2] = b & 15
+                v = ((nibs[:, None] >> shifts) & 1).ravel().astype(np.int32)
+                memo[t] = v
+            return v
+
+        def simhash_batch(s: pd.Series) -> pd.Series:
+            memo: dict = {}
+            out = np.empty(len(s), dtype=np.int64)
+            for i, text in enumerate(s):
+                toks = text.split(" ")
+                counts = np.add.reduce([tok_bits(t, memo) for t in toks], axis=0)
+                votes = 2 * counts.astype(np.int64) - len(toks)
+                out[i] = int(pow2[votes > 0].sum())
+            return pd.Series(out)
+
+        _UDF_CACHE[key] = F.pandas_udf(simhash_batch, "long")
+    return df.where(F.col(text_col).isNotNull()).select(
+        id_col, _UDF_CACHE[key](F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_table_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """The r5 explode + partially-aggregated groupBy form (equivalence
+    reference for tests): codegen'd conditional sums, one 32/48-vote
+    row per doc through the exchange."""
     toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     toks = toks.withColumn("h", F.md5("tok")).select(
         id_col,
@@ -170,8 +313,6 @@ def _popcount64(x):
     """Vectorized SWAR popcount over a non-negative int64 ndarray —
     ~9 streaming numpy ops, no 2^16 lookup-table gathers. Safe for
     hashes up to 63 bits (all intermediates stay non-negative)."""
-    import numpy as np
-
     m1 = np.int64(0x5555555555555555)
     m2 = np.int64(0x3333333333333333)
     m4 = np.int64(0x0F0F0F0F0F0F0F0F)
@@ -223,9 +364,6 @@ def simhash_near_dups(
     banding form then comes back as the candidate *generator* with
     this same vectorized verify per bucket.
     """
-    import numpy as np
-    import pandas as pd
-
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     # K(K+1)/2 block tasks ~= 4x parallelism; floor 2 so tiny inputs
@@ -254,7 +392,12 @@ def simhash_near_dups(
             m = len(ids)
             if m < 2:
                 return empty
-            block = max(1, (1 << 22) // m)
+            # L2-resident tiles: the SWAR popcount makes ~11 passes over
+            # the XOR tile, so a 32 MB tile (the old 1<<22 elems) paid
+            # DRAM bandwidth 11x under 32 concurrent tasks; a 256 KB
+            # tile keeps every pass in L2 (measured 3x: 262->87 ms per
+            # 9.8M pairs single-threaded, more under contention)
+            block = max(1, (1 << 15) // m)
             for a in range(0, m - 1, block):
                 b = min(a + block, m)
                 x = hs[a:b, None] ^ hs[None, a:]
@@ -280,7 +423,7 @@ def simhash_near_dups(
             m = len(ids_b)
             if len(ids_a) == 0 or m == 0:
                 return empty
-            block = max(1, (1 << 22) // m)
+            block = max(1, (1 << 15) // m)  # L2-resident tiles (see above)
             for a in range(0, len(ids_a), block):
                 b = min(a + block, len(ids_a))
                 x = hs_a[a:b, None] ^ hs_b[None, :]

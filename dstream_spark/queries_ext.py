@@ -1577,7 +1577,12 @@ def q_emb_near_dup_pairs(
     return (
         a.join(b, F.col("ia") < F.col("ib"))
         .withColumn(
-            "cos", cosine_with_norms(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"))
+            # fold=True: pair-fan-out scorer — per-pair Arrow traffic
+            # would dominate the Arrow-UDF dot (see cosine_with_norms)
+            "cos",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"), fold=True
+            ),
         )
         .filter(F.col("cos") >= 0.4)
         .select("ia", "ib", "cos")
@@ -2089,7 +2094,12 @@ def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(r, (F.col("bk") == F.col("bk_r")) & (F.col("ia") < F.col("ib")))
         .withColumn(
-            "cos", cosine_with_norms(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"))
+            # fold=True: pair-fan-out scorer — per-pair Arrow traffic
+            # would dominate the Arrow-UDF dot (see cosine_with_norms)
+            "cos",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"), fold=True
+            ),
         )
         .filter(F.col("cos") >= 0.4)
         .select("ia", "ib", "cos")
