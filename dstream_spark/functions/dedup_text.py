@@ -72,6 +72,60 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     return _UDF_CACHE[key](F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
+def word_windows(text_col: str | Column = "text", w: int = 10) -> Column:
+    """OVERLAPPING w-token windows, stride 1, duplicates KEPT, in
+    order (the ExactSubstr rolling windows) — Arrow-vectorized mirror
+    of when(size(toks) >= w, transform(sequence(1, n-w+1),
+    i -> concat_ws(' ', slice(toks, i, w)))).otherwise([]): empty for
+    short docs, [] for NULL text (NULL condition takes otherwise)."""
+    key = ("windows", w)
+    if key not in _UDF_CACHE:
+
+        def window_batch(s: pd.Series) -> pd.Series:
+            out = []
+            for t in s:
+                if t is None:
+                    out.append([])
+                    continue
+                toks = t.split(" ")
+                if len(toks) < w:
+                    out.append([])
+                else:
+                    out.append(
+                        [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+                    )
+            return pd.Series(out, dtype=object)
+
+        _UDF_CACHE[key] = F.pandas_udf(window_batch, "array<string>")
+    return _UDF_CACHE[key](F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def word_chunks(text_col: str | Column = "text", w: int = 40) -> Column:
+    """DISJOINT w-token chunks in order, last chunk short (the
+    paragraph segmentation) — Arrow-vectorized mirror of
+    transform(sequence(0, ceil(n/w)-1), i -> concat_ws(' ',
+    slice(toks, i*w+1, w))). NULL text yields [] (the expression form
+    yields NULL, but both explode() to zero rows — the only consumer
+    shape)."""
+    key = ("chunks", w)
+    if key not in _UDF_CACHE:
+
+        def chunk_batch(s: pd.Series) -> pd.Series:
+            out = []
+            for t in s:
+                if t is None:
+                    out.append([])
+                    continue
+                toks = t.split(" ")
+                out.append(
+                    [" ".join(toks[i : i + w]) for i in range(0, len(toks), w)]
+                )
+            return pd.Series(out, dtype=object)
+
+        _UDF_CACHE[key] = F.pandas_udf(chunk_batch, "array<string>")
+    return _UDF_CACHE[key](F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
 def word_shingles_expr(text_col: str = "text", k: int = 3) -> Column:
     """The original expression form (equivalence reference). The
     short-doc branch matters: sequence(1, n) with n <= 0 yields the

@@ -31,8 +31,15 @@ def tokens(text_col: str = "text") -> Column:
 
 
 def token_count(text_col: str = "text") -> Column:
-    """Whitespace token count (empty string → 1 like SQL split)."""
-    return F.size(tokens(text_col)).cast("int")
+    """Whitespace token count (empty string → 1 like SQL split).
+
+    Computed as space-count + 1: split on the single-space regex
+    always yields (#spaces + 1) tokens (empty tokens kept), so this
+    is exactly size(split(text, ' ')) without allocating the token
+    array per row — the same count at a fraction of the cost in the
+    streaming transform hot loop (guide §1.2 per-task work)."""
+    c = F.col(text_col)
+    return (F.length(c) - F.length(F.replace(c, F.lit(" "))) + 1).cast("int")
 
 
 def char_count(text_col: str = "text") -> Column:
@@ -40,23 +47,36 @@ def char_count(text_col: str = "text") -> Column:
 
 
 def avg_token_len(text_col: str = "text") -> Column:
-    """Mean token length, rounded for cross-engine float stability."""
-    toks = tokens(text_col)
-    total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.round(total / F.size(toks), 6)
+    """Mean token length, rounded for cross-engine float stability.
+
+    Closed form: Σ len(token) == length(text) − (n_tokens − 1), since
+    every space is a delimiter. The old aggregate(transform(...)) HOF
+    fold summed exact integers in doubles (every partial sum an
+    integer < 2^53, so the fold was exact), hence this single
+    expression is bit-identical — and codegen'd instead of
+    interpreted per element."""
+    c = F.col(text_col)
+    n = token_count(text_col).cast("double")
+    total = (F.length(c).cast("double") - (n - 1))
+    return F.round(total / n, 6)
 
 
-def _count_in_set(toks: Column, words: tuple[str, ...]) -> Column:
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+def _count_in_set(toks_text_col: str, words: tuple[str, ...]) -> Column:
+    """COUNT of tokens ∈ words — regexp form: non-consuming lookaround
+    matches on the space-padded text count every space-delimited
+    occurrence (including adjacent ones that a replace()-based count
+    would miss: in ' the the ' both match because the lookbehind does
+    not consume the shared space). Exactly equals
+    size(filter(split(text,' '), t -> t IN words)) — each token
+    position matches at most one alternative in full — without the
+    interpreted higher-order filter per row."""
+    padded = F.concat(F.lit(" "), F.col(toks_text_col), F.lit(" "))
+    pat = "(?<= )(" + "|".join(words) + ")(?= )"
+    return F.regexp_count(padded, F.lit(pat))
 
 
 def stopword_count(text_col: str = "text") -> Column:
-    return _count_in_set(tokens(text_col), STOPWORDS).cast("int")
+    return _count_in_set(text_col, STOPWORDS).cast("int")
 
 
 def quality_score(text_col: str = "text") -> Column:
@@ -71,9 +91,8 @@ def quality_score(text_col: str = "text") -> Column:
 
 def lang_scores(text_col: str = "text") -> list[Column]:
     """One marker-hit count per language, aliased lang_<code>."""
-    toks = tokens(text_col)
     return [
-        _count_in_set(toks, words).cast("int").alias(f"score_{lang}")
+        _count_in_set(text_col, words).cast("int").alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
 
@@ -81,10 +100,9 @@ def lang_scores(text_col: str = "text") -> list[Column]:
 def predicted_lang(text_col: str = "text") -> Column:
     """Argmax language with deterministic lexicographic tiebreak:
     greatest (score, lang-code) pair wins — same rule in the oracle."""
-    toks = tokens(text_col)
     pairs = [
         F.struct(
-            _count_in_set(toks, words).cast("int").alias("s"),
+            _count_in_set(text_col, words).cast("int").alias("s"),
             F.lit(lang).alias("l"),
         )
         for lang, words in LANG_MARKERS.items()

@@ -399,14 +399,9 @@ def q_docs_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs — the cross-engine float convention)."""
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
-    toks = F.split(F.col("text"), " ")
-    n_paras = F.ceil(F.size(toks) / F.lit(PARA_TOKENS)).cast("int")
-    paras = F.transform(
-        F.sequence(F.lit(0), n_paras - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)
-        ),
-    )
+    # Arrow-vectorized disjoint chunks (r6, guide §4.2): exact mirror
+    # of the transform(sequence, concat_ws(slice)) segmentation
+    paras = dedup_text.word_chunks("text", PARA_TOKENS)
     # materialize the exploded hash table ONCE: it feeds BOTH the
     # per-hash count and the join back, and Catalyst re-derives a
     # shared subtree per consumer (the self-join lesson, _materialize)
@@ -542,14 +537,10 @@ def q_docs_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both linear in tokens, both partial-aggregated."""
     register_tables(spark, sf_dir, ("documents",))
     d = spark.table("documents")
-    tk = F.split(F.col("text"), " ")
-    wins = F.when(
-        F.size(tk) >= SUBSTR_WIN,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - SUBSTR_WIN + 1),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, SUBSTR_WIN)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Arrow-vectorized rolling windows (r6, guide §4.2): the
+    # transform(sequence, concat_ws(slice)) expression ran interpreted
+    # per window; dedup_text.word_windows is its exact mirror
+    wins = dedup_text.word_windows("text", SUBSTR_WIN)
     # materialized once: feeds the per-hash count, the join-back, and
     # the per-doc window count (the para_dedup / self-join lesson)
     inst = _materialize(

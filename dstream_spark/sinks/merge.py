@@ -330,13 +330,43 @@ class MergeSink:
             batch_df = batch_df.withColumn(
                 self.version_col, F.lit(int(batch_id)).cast("long")
             )
-        if self.version_col and self.version_col in batch_df.columns:
-            bdf = dedup_latest(batch_df, self.keys, self.version_col)
+        # Version-keyed sinks: ONE exchange per batch (guide §2.4).
+        # dedup_latest's window requires clustering on the FULL key
+        # set, which the upstream micro-batch plan never provides
+        # (e.g. a windowed agg partitions on the window STRUCT, not
+        # w_start), so the r5 order (dedup, then repartition on
+        # partition_key) shuffled every batch row twice. Repartition
+        # on partition_key FIRST: HashPartitioning(partition_key) is a
+        # subset of the keys' required clustering (partition_key ∈
+        # keys), so the window runs in the same partitions — measured
+        # 395k -> 460k events/s on the windowed update-mode sink at
+        # sf0.1/32 cores. Row-identical: version picks are
+        # deterministic (monotonic version contract).
+        #
+        # dropDuplicates sinks keep dedup-first: their upstream
+        # (dropDuplicatesWithinWatermark) already clusters on the full
+        # key set, so the dedup is exchange-FREE there and reordering
+        # only moves the one repartition earlier (measured slightly
+        # worse). Same for partition_key ∉ keys (the bucket-laid-out
+        # incremental-dedup index), where repartition-first would
+        # re-shuffle on the keys and lose the bucket co-location.
+        if (
+            self.version_col
+            and self.version_col in batch_df.columns
+            and self.partition_key in self.keys
+        ):
+            bdf = dedup_latest(
+                batch_df.repartition(self.n_partitions, self.partition_key),
+                self.keys,
+                self.version_col,
+            )
         else:
-            bdf = batch_df.dropDuplicates(list(self.keys))
-        bdf = bdf.repartition(self.n_partitions, self.partition_key).sortWithinPartitions(
-            *self.order_cols
-        )
+            if self.version_col and self.version_col in batch_df.columns:
+                bdf = dedup_latest(batch_df, self.keys, self.version_col)
+            else:
+                bdf = batch_df.dropDuplicates(list(self.keys))
+            bdf = bdf.repartition(self.n_partitions, self.partition_key)
+        bdf = bdf.sortWithinPartitions(*self.order_cols)
         bdf = bdf.withColumn("_partition_id", F.spark_partition_id())
         bdf.persist()
         try:
