@@ -219,6 +219,65 @@ def rp_lsh_assign(
     return b.groupBy(id_col).agg(F.sum(term).cast("long").alias("lsh_bucket"))
 
 
+def ivf_assign_vec(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "c_id",
+    centroid_vec_col: str = "c_vec",
+) -> DataFrame:
+    """``ivf_assign`` that CARRIES THE VECTOR through: output
+    (id_col, centroid_id_col, vec_col).
+
+    Why it exists (r6, guide §2.4): every consumer that needs the
+    assigned vectors (IVF cell search, k-means centroid update) was
+    re-attaching them with ``assign.join(vectors, id_col)`` — a
+    sort-merge join that shuffles the whole embedding table on a key
+    that exists only to undo ``ivf_assign``'s projection, on top of
+    the window pick's own exchange+sort over the centroid-fanned-out
+    rows. Here the argmax is an aggregate (``max_by`` over
+    (sim, -centroid_id)), so partial aggregation collapses the k
+    fanned-out rows per vector MAP-SIDE (the broadcast join produces
+    them inside one task) and ONE exchange carries one row per vector
+    — no join-back, no sorts.
+
+    Identical assignment to ``ivf_assign``: the window pick is
+    row_number over (sim DESC, c_id ASC) → rn=1, i.e. max sim with
+    ties to the LOWest centroid id; max_by over the ordering struct
+    (sim, -c_id) picks exactly that row. ``sim`` is the same
+    cosine_with_norms expression, so the compared values are
+    bit-identical. Precondition (holds for every embedding corpus
+    here, and for ivf_assign's own ordering to be meaningful): sims
+    are non-null — vectors and centroids are non-null fixed-dim
+    arrays with positive norms. first(vec) is deterministic because
+    vec is functionally dependent on the group key."""
+    scored = (
+        vectors.select(id_col, vec_col)
+        .withColumn("_vn", l2_norm(F.col(vec_col)))
+        .join(
+            F.broadcast(
+                centroids.select(centroid_id_col, centroid_vec_col).withColumn(
+                    "_cn", l2_norm(F.col(centroid_vec_col))
+                )
+            )
+        )
+        .withColumn(
+            "sim",
+            cosine_with_norms(
+                F.col(vec_col), F.col(centroid_vec_col), F.col("_vn"), F.col("_cn")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(centroid_id_col),
+            F.struct(F.col("sim"), (-F.col(centroid_id_col)).alias("_nc")),
+        ).alias(centroid_id_col),
+        F.first(F.col(vec_col)).alias(vec_col),
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -116,10 +116,14 @@ def scd2_fn(
     else:
         open_ts, open_conv, open_turn, open_attr = None, None, None, None
     batch = pd.concat(list(pdfs), ignore_index=True)
-    # ns ordinal computed HERE from the arrow-delivered datetime64[ns]
-    # (TimestampNTZ has no numeric cast JVM-side, and a seconds cast
-    # would drop sub-second precision)
-    batch["_ts_ns"] = batch["valid_from"].astype("int64")
+    # ns ordinal computed HERE from the arrow-delivered timestamps.
+    # The explicit datetime64[ns] normalization ENFORCES the unit
+    # (r5 advice): if a pandas/Arrow config ever delivered
+    # datetime64[us], a bare astype('int64') would yield microsecond
+    # ordinals silently reinterpreted as ns downstream — 1000x-wrong
+    # valid_from/valid_to. (TimestampNTZ has no numeric cast JVM-side,
+    # and a seconds cast would drop sub-second precision.)
+    batch["_ts_ns"] = batch["valid_from"].astype("datetime64[ns]").astype("int64")
     # the replay filter: drop changes at-or-below the cursor (the open
     # version is the newest change ever seen for this key)
     if open_ts is not None:

@@ -1594,16 +1594,20 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest centroid (vec_id < 8, broadcast), then search top-3 only
     WITHIN the query's bucket. At 100 TB this turns an O(N·Q) scan
     into O(N·K + Q·N/K): candidate generation shuffles only
-    (centroid_id) buckets, never the full corpus per query."""
-    from dstream_spark.functions.similarity import cosine_with_norms, ivf_assign, l2_norm
+    (centroid_id) buckets, never the full corpus per query.
+
+    r6 (guide §2.4): the assignment carries the vector through
+    (ivf_assign_vec — aggregate argmax, map-side partial agg) instead
+    of window-pick + join-back against the embedding table; identical
+    labels, two exchanges and three sorts fewer (plans/r06)."""
+    from dstream_spark.functions.similarity import cosine_with_norms, ivf_assign_vec, l2_norm
 
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign(fan_out(e), cents).select("vec_id", "c_id")
-    vecs = assigned.join(e, "vec_id").select("vec_id", "c_id", "embedding").withColumn(
+    vecs = ivf_assign_vec(fan_out(e), cents).withColumn(
         "_n", l2_norm(F.col("embedding"))
     )
     q = vecs.filter(F.col("vec_id") < 20).select(
@@ -1714,7 +1718,7 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines share, QUANTIZED to 1e-6-scaled BIGINTs before the
     group-by — so the cross-partition sum is exact-integer and the
     ranking can never be reordered by float accumulation. Codebooks
-    are the vec_id < 8 sub-slices (the emb_ivf_topk seed convention;
+    are the vec_id < PQ_CODEBOOK (= 32) sub-slices (the seed convention;
     emb_kmeans_converged shows the trained form of the same shape).
     At 10^9 vectors PQ composes with IVF cell restriction (IVF-PQ —
     emb_ivfpq_topk): the candidate list comes from the cell, the
@@ -1749,16 +1753,18 @@ def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle is (c_id, pos) keyed, so a 10^9-vector update is one
     partial-aggregated exchange, no driver involvement. Means use the
     exact-integer trick (quantize to 1e-6, BIGINT sum, one final
-    division) so float accumulation order cannot diverge the result."""
-    from dstream_spark.functions.similarity import ivf_assign
+    division) so float accumulation order cannot diverge the result.
+
+    r6: assignment carries the vector (ivf_assign_vec) — the
+    assign→join-back sort-merge join is gone (guide §2.4)."""
+    from dstream_spark.functions.similarity import ivf_assign_vec
 
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign(fan_out(e), cents).select("vec_id", "c_id")
-    vecs = assigned.join(e, "vec_id")
+    vecs = ivf_assign_vec(fan_out(e), cents)
     dims = vecs.select(
         "c_id", F.posexplode(F.col("embedding")).alias("pos", "val")
     ).withColumn("q", F.floor(F.col("val").cast("double") * 1000000 + 0.5).cast("long"))
@@ -1846,7 +1852,7 @@ def _ivf_trained_cells(spark: SparkSession, sf_dir: str):
     broadcast assignment against those centroids (the cell-list
     build). Returns (trained_centroids, vecs) where vecs = (vec_id,
     c_id, embedding, _n norm)."""
-    from dstream_spark.functions.similarity import ivf_assign, l2_norm
+    from dstream_spark.functions.similarity import ivf_assign_vec, l2_norm
 
     assigned = q_emb_kmeans_converged(spark, sf_dir).select("vec_id", "c_id")
     e = spark.table("embeddings")
@@ -1864,8 +1870,9 @@ def _ivf_trained_cells(spark: SparkSession, sf_dir: str):
             lambda s: s.getField("mean"),
         ).alias("c_vec")
     )
-    cells = ivf_assign(fan_out(e), trained).select("vec_id", "c_id")
-    vecs = cells.join(e, "vec_id").select("vec_id", "c_id", "embedding").withColumn(
+    # r6: the cell-list build carries the vector (ivf_assign_vec) —
+    # no join-back against the embedding table (guide §2.4)
+    vecs = ivf_assign_vec(fan_out(e), trained).withColumn(
         "_n", l2_norm(F.col("embedding"))
     )
     return trained, vecs

@@ -210,3 +210,28 @@ def test_simhash_table_equals_expression_form(spark):
     }
     table_form = {(r.doc_id, r.simhash) for r in simhash_table(df).collect()}
     assert expr_form == table_form
+
+
+def test_ivf_assign_vec_equals_window_pick(spark):
+    """ivf_assign_vec (aggregate max_by pick, vector carried through)
+    must produce the same (vec_id, c_id) labels as ivf_assign's
+    row_number pick, plus the unchanged vector — including on inputs
+    with cosine TIES (duplicate centroids), where both must break to
+    the lowest centroid id."""
+    from dstream_spark.functions.similarity import ivf_assign, ivf_assign_vec
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    # centroids 0..3 distinct, centroid 4 DUPLICATES centroid 2 → every
+    # vector nearest c2 ties (c2, c4); the pick must choose c2
+    cents = [(c, vecs[c][1]) for c in range(4)] + [(4, vecs[2][1])]
+    cdf = spark.createDataFrame(cents, ["c_id", "c_vec"])
+    window_form = {
+        (r.vec_id, r.c_id) for r in ivf_assign(df, cdf).collect()
+    }
+    carried = ivf_assign_vec(df, cdf).collect()
+    agg_form = {(r.vec_id, r.c_id) for r in carried}
+    assert agg_form == window_form
+    by_id = dict(vecs)
+    assert all(r.embedding == by_id[r.vec_id] for r in carried)
