@@ -167,3 +167,35 @@ def _materialize(df: DataFrame, tag: str) -> DataFrame:
     atexit.register(shutil.rmtree, path, True)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Actual on-disk bytes behind a parquet-scan DataFrame (e.g. a
+    ``_materialize`` read-back); None when the frame has no input
+    files. Lets broadcast decisions on DERIVED tables read REAL sizes
+    the way ``maybe_broadcast`` does for source tables — size
+    ESTIMATES after aggregations are unusable for this, which is why
+    the planner alone gets those joins wrong (guide §3.1)."""
+    import os
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    try:
+        return sum(os.path.getsize(f.replace("file:", "")) for f in files)
+    except OSError:
+        return None
+
+
+def _materialize_adaptive(
+    df: DataFrame, tag: str, cap_bytes: int = 128 << 20
+) -> DataFrame:
+    """``_materialize`` + broadcast hint when the LANDED parquet is
+    small: once materialized, the broadcast decision is exact and
+    scale-adaptive by construction (a derived table that outgrows the
+    cap at driver scale keeps the planner's shuffle strategy)."""
+    from pyspark.sql import functions as F
+
+    mat = _materialize(df, tag)
+    size = _scan_bytes(mat)
+    return F.broadcast(mat) if size is not None and size <= cap_bytes else mat

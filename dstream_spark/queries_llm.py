@@ -46,6 +46,7 @@ from dstream_spark.queries_base import (
     SHINGLES_SQL,
     Query,
     _materialize,
+    _materialize_adaptive,
     fan_out,
 )
 
@@ -630,16 +631,36 @@ def q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
-    types = (
-        big.join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "w1", "w2", (F.col("c12") + 1).alias("a"), (F.col("c1") + F.col("v")).alias("bv")
-        )
+    # r6 (guide §1.2 "don't compute things you throw away" + §3.1):
+    # lb = log2(c1 + V) depends only on w1, so its 19-step chain runs
+    # on the VOCAB-sized context table, not once per (w1, w2) bigram
+    # type; la's chain runs on the bigram-type table before the join,
+    # so the join carries two final BIGINTs instead of feeding both
+    # chains. Same integer inputs through the same chain → the scored
+    # values are bit-identical (the frozen DuckDB oracle text still
+    # computes both chains post-join; equal by construction).
+    uni_l = with_fp_log2(
+        uni.crossJoin(F.broadcast(vocab)).select(
+            "w1", (F.col("c1") + F.col("v")).alias("bv")
+        ),
+        "bv",
+        "lb",
     )
-    types = with_fp_log2(types, "a", "la")
-    types = with_fp_log2(types, "bv", "lb")
-    nllt = types.select("w1", "w2", (F.col("lb") - F.col("la")).alias("nll_micro"))
+    big_l = with_fp_log2(
+        big.select("w1", "w2", (F.col("c12") + 1).alias("a")), "a", "la"
+    )
+    nllt = big_l.join(uni_l, "w1").select(
+        "w1", "w2", (F.col("lb") - F.col("la")).alias("nll_micro")
+    )
+    # landed + broadcast-when-actually-small (_materialize_adaptive,
+    # guide §3.1): under the cap the instance join is map-side — binst
+    # is never exchanged on (w1, w2), the fixlog chains run exactly
+    # once (inside the landed build, truncating 2×19 projection steps
+    # out of the main plan — planning alone cost ~1 s per run before),
+    # and past the cap (web-scale vocab²) the planner's shuffle
+    # strategy stands. Measured at sf0.1: plan 1.5→0.05 s, exec
+    # 3.7→0.9 s, total ~7→5.5 s.
+    nllt = _materialize_adaptive(nllt, "lm_nllt")
     perdoc = (
         binst.join(nllt, ["w1", "w2"])
         .groupBy("doc_id")
