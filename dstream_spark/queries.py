@@ -668,7 +668,20 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is materialized first — deriving signatures is the expensive
     pass, and a self-join would run it once per branch."""
     b = _materialize(q_docs_minhash_bands(spark, sf_dir), "mh_bands")
-    l, r = b.alias("l"), b.alias("r")
+    # broadcast the build side of the bucket self-join when the LANDED
+    # band table is actually small (_scan_bytes reads real bytes, so
+    # the hint vanishes once the corpus outgrows the cap): the join
+    # goes map-side and the only exchange left is the per-pair
+    # aggregate (guide §3.1, §2.4; r6)
+    from dstream_spark.queries_base import _scan_bytes
+
+    _bsz = _scan_bytes(b)
+    l = b.alias("l")
+    r = (
+        F.broadcast(b.alias("r"))
+        if _bsz is not None and _bsz <= (128 << 20)
+        else b.alias("r")
+    )
     return (
         l.join(
             r,
