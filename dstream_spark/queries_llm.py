@@ -762,15 +762,33 @@ def q_docs_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
         .first()
     )
-    p1 = idx.filter(F.col("term") == top["w1"]).select(
-        "doc_id", F.col("positions").alias("pos1")
-    )
-    p2 = idx.filter(F.col("term") == top["w2"]).select(
-        "doc_id", F.col("positions").alias("pos2")
+    # r6 (guide §2.4, §1.2): ONE consumption of the index instead of
+    # two. The old shape filtered the index per term in two self-join
+    # branches — Catalyst re-derives the subtree per branch, so the
+    # whole posexplode+aggregate index build ran TWICE, then joined on
+    # doc_id. Now the term filter (the per-term posting-segment read a
+    # (term)-partitioned index serves at scale) is applied once, and
+    # the two position lists pivot onto one row per doc in the same
+    # aggregate: a posting is unique per (term, doc), so
+    # first(ignorenulls) over the two term-cases is deterministic, and
+    # non-null-both == the old inner join (incl. the w1 == w2 edge,
+    # where both cases select the same posting — exactly p1 == p2
+    # before). The intersection expression is unchanged.
+    p = idx.filter(F.col("term").isin(top["w1"], top["w2"]))
+    both = (
+        p.groupBy("doc_id")
+        .agg(
+            F.first(
+                F.when(F.col("term") == top["w1"], F.col("positions")), True
+            ).alias("pos1"),
+            F.first(
+                F.when(F.col("term") == top["w2"], F.col("positions")), True
+            ).alias("pos2"),
+        )
+        .filter(F.col("pos1").isNotNull() & F.col("pos2").isNotNull())
     )
     hits = (
-        p1.join(p2, "doc_id")
-        .select(
+        both.select(
             "doc_id",
             F.size(
                 F.array_intersect(
