@@ -251,21 +251,33 @@ def ivf_assign_vec(
     here, and for ivf_assign's own ordering to be meaningful): sims
     are non-null — vectors and centroids are non-null fixed-dim
     arrays with positive norms. first(vec) is deterministic because
-    vec is functionally dependent on the group key."""
+    vec is functionally dependent on the group key.
+
+    Scores with the JVM fold, not the Arrow dot (guide §4.1): this
+    shape is pure PAIR-FAN-OUT — the broadcast join fans every
+    embedding k centroid-ways, and an Arrow scorer would ship both
+    64-float vectors across the Python boundary once per (vector,
+    centroid) pair. Interleaved first-run+warm A/B at the 10× proxy:
+    whole-query fold 2.50 s first / 1.5-2.0 warm vs Arrow 3.64 /
+    2.2 — fold wins both. (The window-form ``ivf_assign`` measured
+    the OPPOSITE — Arrow 1.09 vs fold 1.27 min, same session — so
+    each keeps its measured winner; the two scorers are bit-identical
+    by the exact-fold-semantics tests.)"""
     scored = (
         vectors.select(id_col, vec_col)
-        .withColumn("_vn", l2_norm(F.col(vec_col)))
+        .withColumn("_vn", l2_norm_fold(F.col(vec_col)))
         .join(
             F.broadcast(
                 centroids.select(centroid_id_col, centroid_vec_col).withColumn(
-                    "_cn", l2_norm(F.col(centroid_vec_col))
+                    "_cn", l2_norm_fold(F.col(centroid_vec_col))
                 )
             )
         )
         .withColumn(
             "sim",
             cosine_with_norms(
-                F.col(vec_col), F.col(centroid_vec_col), F.col("_vn"), F.col("_cn")
+                F.col(vec_col), F.col(centroid_vec_col), F.col("_vn"), F.col("_cn"),
+                fold=True,
             ),
         )
     )

@@ -1599,8 +1599,14 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 (guide §2.4): the assignment carries the vector through
     (ivf_assign_vec — aggregate argmax, map-side partial agg) instead
     of window-pick + join-back against the embedding table; identical
-    labels, two exchanges and three sorts fewer (plans/r06)."""
-    from dstream_spark.functions.similarity import cosine_with_norms, ivf_assign_vec, l2_norm
+    labels, two exchanges and three sorts fewer (plans/r06). The
+    whole query is pair-fan-out, so every scorer is the JVM fold —
+    see ivf_assign_vec's measured rationale (guide §4.1)."""
+    from dstream_spark.functions.similarity import (
+        cosine_with_norms,
+        ivf_assign_vec,
+        l2_norm_fold,
+    )
 
     register_tables(spark, sf_dir, ("embeddings",))
     e = spark.table("embeddings")
@@ -1608,7 +1614,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     vecs = ivf_assign_vec(fan_out(e), cents).withColumn(
-        "_n", l2_norm(F.col("embedding"))
+        "_n", l2_norm_fold(F.col("embedding"))
     )
     q = vecs.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("c_id").alias("q_c"),
@@ -1623,7 +1629,10 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c.join(F.broadcast(q), (F.col("q_c") == F.col("n_c")) & (F.col("q_id") != F.col("n_id")))
         .withColumn(
-            "sim", cosine_with_norms(F.col("q_vec"), F.col("n_vec"), F.col("_qn"), F.col("_nn"))
+            "sim",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("n_vec"), F.col("_qn"), F.col("_nn"), fold=True
+            ),
         )
         .select("q_id", "n_id", "sim")
     )
@@ -1852,7 +1861,7 @@ def _ivf_trained_cells(spark: SparkSession, sf_dir: str):
     broadcast assignment against those centroids (the cell-list
     build). Returns (trained_centroids, vecs) where vecs = (vec_id,
     c_id, embedding, _n norm)."""
-    from dstream_spark.functions.similarity import ivf_assign_vec, l2_norm
+    from dstream_spark.functions.similarity import ivf_assign_vec, l2_norm_fold
 
     assigned = q_emb_kmeans_converged(spark, sf_dir).select("vec_id", "c_id")
     e = spark.table("embeddings")
@@ -1871,9 +1880,10 @@ def _ivf_trained_cells(spark: SparkSession, sf_dir: str):
         ).alias("c_vec")
     )
     # r6: the cell-list build carries the vector (ivf_assign_vec) —
-    # no join-back against the embedding table (guide §2.4)
+    # no join-back against the embedding table (guide §2.4); fold
+    # norms, matching the pair-fan-out scorer (see ivf_assign_vec)
     vecs = ivf_assign_vec(fan_out(e), trained).withColumn(
-        "_n", l2_norm(F.col("embedding"))
+        "_n", l2_norm_fold(F.col("embedding"))
     )
     return trained, vecs
 
@@ -1892,7 +1902,11 @@ def _cell_topk(q, vecs, k: int = 3) -> DataFrame:
     scored = (
         c.join(F.broadcast(q), (F.col("q_c") == F.col("n_c")) & (F.col("q_id") != F.col("n_id")))
         .withColumn(
-            "sim", cosine_with_norms(F.col("q_vec"), F.col("n_vec"), F.col("_qn"), F.col("_nn"))
+            "sim",
+            # fold: pair-fan-out scorer (see ivf_assign_vec, guide §4.1)
+            cosine_with_norms(
+                F.col("q_vec"), F.col("n_vec"), F.col("_qn"), F.col("_nn"), fold=True
+            ),
         )
         .select("q_id", "n_id", "sim")
     )
